@@ -1,0 +1,141 @@
+"""Anchor ("prior") frame planning for two-pass sampling.
+
+Capability parity with reference seva/eval.py:344-490
+(`infer_prior_stats`, `infer_prior_inds`, `compute_relative_inds`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def infer_prior_stats(
+    T: int | list[int] | tuple[int, int],
+    num_input_frames: int,
+    num_total_frames: int,
+    version_config,
+    options,
+) -> int:
+    """Decide how many anchor frames the first pass should generate.
+
+    Semi-dense regime (>= `num_input_semi_dense` inputs) dynamically grows the
+    first-pass context window and REWRITES `version_config.T` in place, exactly
+    like the reference mutates `version_dict["T"]` (seva/eval.py:387,420).
+    """
+    chunk_strategy = options.get("chunk_strategy", "nearest")
+    T_first_pass = T[0] if isinstance(T, (list, tuple)) else T
+    T_second_pass = T[1] if isinstance(T, (list, tuple)) else T
+
+    if chunk_strategy.startswith("interp"):
+        if num_input_frames >= options.get("num_input_semi_dense", 9):
+            num_prior_frames = (
+                math.ceil(
+                    num_total_frames
+                    / (T_second_pass - 2)
+                    * options.get("num_prior_frames_ratio", 1.0)
+                )
+                + 1
+            )
+            if num_prior_frames + num_input_frames < T_first_pass:
+                num_prior_frames = T_first_pass - num_input_frames
+            num_prior_frames = max(
+                num_prior_frames, options.get("num_prior_frames", 0)
+            )
+            T_first_pass = num_prior_frames + num_input_frames
+            if "gt" in chunk_strategy:
+                T_second_pass = T_second_pass + num_input_frames
+            version_config.T = [T_first_pass, T_second_pass]
+        else:
+            num_prior_frames = (
+                math.ceil(
+                    num_total_frames
+                    / (
+                        T_second_pass
+                        - 2
+                        - (num_input_frames if "gt" in chunk_strategy else 0)
+                    )
+                    * options.get("num_prior_frames_ratio", 1.0)
+                )
+                + 1
+            )
+            if num_prior_frames + num_input_frames < T_first_pass:
+                num_prior_frames = T_first_pass - num_input_frames
+            num_prior_frames = max(
+                num_prior_frames, options.get("num_prior_frames", 0)
+            )
+    else:
+        num_prior_frames = max(
+            T_first_pass - num_input_frames, options.get("num_prior_frames", 0)
+        )
+        if num_input_frames >= options.get("num_input_semi_dense", 9):
+            T_first_pass = num_prior_frames + num_input_frames
+            version_config.T = [T_first_pass, T_second_pass]
+
+    return num_prior_frames
+
+
+def infer_prior_inds(
+    c2ws: np.ndarray,
+    num_prior_frames: int,
+    input_frame_indices,
+    options,
+) -> np.ndarray:
+    """Pick anchor indices among targets: equally spaced (interp) or greedy
+    farthest-from-covered (reference seva/eval.py:425-453)."""
+    chunk_strategy = options.get("chunk_strategy", "nearest")
+    if chunk_strategy.startswith("interp"):
+        prior_frame_indices = np.array(
+            [i for i in range(c2ws.shape[0]) if i not in input_frame_indices]
+        )
+        prior_frame_indices = prior_frame_indices[
+            np.ceil(
+                np.linspace(
+                    0, prior_frame_indices.shape[0] - 1, num_prior_frames, endpoint=True
+                )
+            ).astype(int)
+        ]
+    else:
+        prior_frame_indices: list[int] = []
+        while len(prior_frame_indices) < num_prior_frames:
+            closest_distance = np.abs(
+                np.arange(c2ws.shape[0])[None]
+                - np.concatenate(
+                    [np.array(input_frame_indices), np.array(prior_frame_indices)]
+                )[:, None]
+            ).min(0)
+            prior_frame_indices.append(int(np.argsort(closest_distance)[-1]))
+    return np.sort(prior_frame_indices)
+
+
+def compute_relative_inds(source_inds: np.ndarray, target_inds: np.ndarray) -> list:
+    """Map absolute ids into (fractional) positions relative to a sampled
+    sequence (reference seva/eval.py:456-490)."""
+    assert len(source_inds) > 2
+    relative_inds = []
+    for ind in target_inds:
+        if ind in source_inds:
+            relative_ind = int(np.where(source_inds == ind)[0][0])
+        elif ind < source_inds[0]:
+            relative_ind = -((source_inds[0] - ind) / (source_inds[1] - source_inds[0]))
+        elif ind > source_inds[-1]:
+            relative_ind = len(source_inds) + (
+                (ind - source_inds[-1]) / (source_inds[-1] - source_inds[-2])
+            )
+        else:
+            lower_inds = source_inds[source_inds < ind]
+            upper_inds = source_inds[source_inds > ind]
+            if len(lower_inds) > 0 and len(upper_inds) > 0:
+                lower_ind = lower_inds[-1]
+                upper_ind = upper_inds[0]
+                relative_lower_ind = int(np.where(source_inds == lower_ind)[0][0])
+                relative_upper_ind = int(np.where(source_inds == upper_ind)[0][0])
+                relative_ind = relative_lower_ind + (ind - lower_ind) / (
+                    upper_ind - lower_ind
+                ) * (relative_upper_ind - relative_lower_ind)
+            else:
+                relative_inds.append(float("nan"))
+                continue
+        relative_inds.append(relative_ind)
+    return relative_inds

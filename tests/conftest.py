@@ -1,0 +1,110 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU platform (the standard JAX substitute
+for multi-chip testing) BEFORE jax is imported anywhere, and provides helpers
+to import the read-only reference implementation at /root/reference for
+golden-parity tests (we run the reference as an oracle; we never copy it).
+"""
+
+import os
+import sys
+import types
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_reference_stubs():
+    """Stub the reference's GUI/vision deps that are absent in this image so
+    its numerical modules (geometry, sampling, eval planners) can be imported
+    and run as test oracles."""
+    if "gradio" not in sys.modules:
+        gradio = types.ModuleType("gradio")
+        gradio.Progress = object
+        sys.modules["gradio"] = gradio
+    if "torchvision" not in sys.modules:
+        import torch
+
+        torchvision = types.ModuleType("torchvision")
+        transforms = types.ModuleType("torchvision.transforms")
+        functional = types.ModuleType("torchvision.transforms.functional")
+
+        def _crop(img, top, left, height, width):
+            return img[..., top : top + height, left : left + width]
+
+        def _pad(img, padding, fill=0):
+            pl, pt, pr, pb = padding
+            return torch.nn.functional.pad(
+                img, (pl, pr, pt, pb), mode="constant", value=fill
+            )
+
+        functional.crop = _crop
+        functional.pad = _pad
+        transforms.functional = functional
+        torchvision.transforms = transforms
+        sys.modules["torchvision"] = torchvision
+        sys.modules["torchvision.transforms"] = transforms
+        sys.modules["torchvision.transforms.functional"] = functional
+    if "roma" not in sys.modules:
+        import torch
+
+        roma = types.ModuleType("roma")
+
+        def rotvec_to_rotmat(rotvec: "torch.Tensor") -> "torch.Tensor":
+            from stable_virtual_camera_tpu.core.trajectories import (
+                rotvec_to_rotmat as np_rodrigues,
+            )
+
+            return torch.from_numpy(
+                np_rodrigues(rotvec.detach().cpu().numpy())
+            ).to(rotvec.dtype)
+
+        roma.rotvec_to_rotmat = rotvec_to_rotmat
+        sys.modules["roma"] = roma
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Namespace of reference modules imported from /root/reference."""
+    _install_reference_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import seva.eval as ref_eval
+    import seva.geometry as ref_geometry
+    import seva.model as ref_model
+    import seva.sampling as ref_sampling
+
+    ns = types.SimpleNamespace(
+        eval=ref_eval,
+        geometry=ref_geometry,
+        model=ref_model,
+        sampling=ref_sampling,
+    )
+    return ns
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_c2ws(rng: np.random.Generator, n: int, radius: float = 3.0) -> np.ndarray:
+    """Random look-at cameras on a sphere around the origin (well-conditioned)."""
+    from stable_virtual_camera_tpu.core.trajectories import get_lookat_w2cs
+
+    positions = rng.normal(size=(n, 3))
+    positions = positions / np.linalg.norm(positions, axis=-1, keepdims=True) * radius
+    positions += rng.normal(scale=0.3, size=(n, 3))
+    lookat = rng.normal(scale=0.1, size=3)
+    up = np.array([0.0, -1.0, 0.0])
+    w2cs = get_lookat_w2cs(positions, lookat, up)
+    return np.linalg.inv(w2cs)

@@ -1,0 +1,223 @@
+"""Golden-parity tests of the chunk planner against the reference oracle.
+
+The reference's `chunk_input_and_test` (seva/eval.py:504-852) is run directly
+(imported from /root/reference with dependency stubs) and its schedules are
+compared symbol-for-symbol with ours across strategies and random camera sets.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+from stable_virtual_camera_tpu.engine import planner, prior
+
+from conftest import random_c2ws
+
+
+def _opts_dict(**kw):
+    base = {"sampler_verbose": False}
+    base.update(kw)
+    return base
+
+
+@pytest.mark.parametrize("strategy", ["gt", "gt-nearest", "gt-ltr"])
+@pytest.mark.parametrize("m,n", [(1, 7), (3, 25), (5, 60), (2, 3)])
+def test_gt_strategies_match_reference(ref, rng, strategy, m, n):
+    T = 9
+    input_c2ws = random_c2ws(rng, m)
+    test_c2ws = random_c2ws(rng, n)
+    opts = _opts_dict()
+    ours = planner.chunk_input_and_test(
+        T,
+        input_c2ws,
+        test_c2ws,
+        list(range(m)),
+        list(range(m, m + n)),
+        options=EngineOptions(sampler_verbose=False),
+        task="img2trajvid",
+        chunk_strategy=strategy,
+        gt_input_inds=list(range(m)),
+    )
+    theirs = ref.eval.chunk_input_and_test(
+        T,
+        torch.from_numpy(input_c2ws).float(),
+        torch.from_numpy(test_c2ws).float(),
+        list(range(m)),
+        list(range(m, m + n)),
+        options=opts,
+        task="img2trajvid",
+        chunk_strategy=strategy,
+        gt_input_inds=list(range(m)),
+    )
+    assert ours.chunks == theirs[0]
+    assert ours.input_inds_per_chunk == theirs[1]
+    assert ours.input_sels_per_chunk == theirs[2]
+    assert ours.test_inds_per_chunk == theirs[3]
+    assert ours.test_sels_per_chunk == theirs[4]
+
+
+@pytest.mark.parametrize("strategy", ["nearest", "nearest-gt", "nearest-3"])
+@pytest.mark.parametrize("m,n", [(4, 30), (8, 50), (3, 10)])
+def test_nearest_strategies_match_reference(ref, rng, strategy, m, n):
+    T = 9
+    input_c2ws = random_c2ws(rng, m)
+    test_c2ws = random_c2ws(rng, n)
+    gt_inds = list(range(min(2, m)))
+    ours = planner.chunk_input_and_test(
+        T,
+        input_c2ws,
+        test_c2ws,
+        list(range(m)),
+        list(range(m, m + n)),
+        options=EngineOptions(sampler_verbose=False),
+        task="img2img",
+        chunk_strategy=strategy,
+        gt_input_inds=gt_inds,
+    )
+    theirs = ref.eval.chunk_input_and_test(
+        T,
+        torch.from_numpy(input_c2ws).float(),
+        torch.from_numpy(test_c2ws).float(),
+        list(range(m)),
+        list(range(m, m + n)),
+        options=_opts_dict(),
+        task="img2img",
+        chunk_strategy=strategy,
+        gt_input_inds=gt_inds,
+    )
+    assert ours.chunks == theirs[0]
+
+
+@pytest.mark.parametrize("task", ["img2img", "img2trajvid"])
+@pytest.mark.parametrize("strategy", ["interp", "interp-gt"])
+def test_interp_strategies_match_reference(ref, rng, task, strategy):
+    T = 9
+    # Ordered anchor/target layout. NOTE: per-gap target count must stay
+    # <= T - 2 - len(gt_chunk) - 1; beyond that the reference planner itself
+    # never terminates (its feasibility assert at seva/eval.py:759-762 checks
+    # only T-2 and ignores the gt prefix), so we test the feasible regime.
+    n = 15
+    anchor_ords = [0.0, 5.0, 11.0, 16.0, 23.0]
+    if task == "img2trajvid":
+        gt_inds = [0]
+        input_ords = [0] + [o + 1 for o in anchor_ords]
+        m = len(anchor_ords) + 1
+    else:
+        gt_inds = [0]
+        input_ords = anchor_ords
+        m = len(anchor_ords)
+    test_ords = list(np.linspace(0.5, 22.5, n))
+    input_c2ws = random_c2ws(rng, m)
+    test_c2ws = random_c2ws(rng, n)
+    ours = planner.chunk_input_and_test(
+        T,
+        input_c2ws,
+        test_c2ws,
+        list(input_ords),
+        list(test_ords),
+        options=EngineOptions(sampler_verbose=False),
+        task=task,
+        chunk_strategy=strategy,
+        gt_input_inds=gt_inds,
+    )
+    theirs = ref.eval.chunk_input_and_test(
+        T,
+        torch.from_numpy(input_c2ws).float(),
+        torch.from_numpy(test_c2ws).float(),
+        list(input_ords),
+        list(test_ords),
+        options=_opts_dict(),
+        task=task,
+        chunk_strategy=strategy,
+        gt_input_inds=gt_inds,
+    )
+    assert ours.chunks == theirs[0]
+
+
+def test_planner_invariants(rng):
+    """Every chunk has exactly T slots; every target appears exactly once."""
+    T = 21
+    m, n = 3, 100
+    input_c2ws = random_c2ws(rng, m)
+    test_c2ws = random_c2ws(rng, n)
+    for strategy in ["gt", "gt-nearest", "nearest", "nearest-gt"]:
+        plan = planner.chunk_input_and_test(
+            T,
+            input_c2ws,
+            test_c2ws,
+            list(range(m)),
+            list(range(m, m + n)),
+            options=EngineOptions(sampler_verbose=False),
+            task="img2trajvid",
+            chunk_strategy=strategy,
+            gt_input_inds=list(range(m)),
+        )
+        for chunk in plan.chunks:
+            assert len(chunk) == T
+        seen = [i for inds in plan.test_inds_per_chunk for i in inds]
+        assert sorted(seen) == list(range(n)), strategy
+
+
+@pytest.mark.parametrize(
+    "input_sels,test_sels,T",
+    [([0, 1], [2, 5, 6], 9), ([0], [1, 2, 3], 9), ([8], [0, 1], 9)],
+)
+def test_pad_indices_matches_reference(ref, input_sels, test_sels, T):
+    ours = planner.pad_indices(input_sels, test_sels, T, "last")
+    theirs = ref.eval.pad_indices(input_sels, test_sels, T, "last")
+    assert ours[0] == theirs[0]
+    assert ours[1] == theirs[1]
+    np.testing.assert_array_equal(ours[2], theirs[2])
+    np.testing.assert_array_equal(ours[3], theirs[3])
+
+
+def test_assemble_matches_reference(ref, rng):
+    T = 9
+    input_sels, test_sels = [0, 4], [1, 2, 3, 5]
+    _, _, imap, tmap = planner.pad_indices(input_sels, test_sels, T, "last")
+    inp = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    tst = rng.normal(size=(4, 3, 8, 8)).astype(np.float32)
+    ours = planner.assemble(inp, tst, imap, tmap)
+    theirs = ref.eval.assemble(
+        torch.from_numpy(inp), torch.from_numpy(tst), imap, tmap
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs)
+
+
+@pytest.mark.parametrize("strategy", ["interp", "interp-gt", "nearest", "gt-nearest"])
+@pytest.mark.parametrize("num_inputs,num_targets", [(1, 20), (3, 80), (9, 80), (12, 200)])
+def test_infer_prior_stats_matches_reference(ref, strategy, num_inputs, num_targets):
+    T = 21
+    vc = VersionConfig(T=T)
+    opts = EngineOptions(chunk_strategy=strategy, sampler_verbose=False)
+    ours = prior.infer_prior_stats(T, num_inputs, num_targets, vc, opts)
+
+    version_dict = {"T": T, "options": {"chunk_strategy": strategy}}
+    theirs = ref.eval.infer_prior_stats(T, num_inputs, num_targets, version_dict)
+    assert ours == theirs
+    ref_T = version_dict["T"]
+    assert vc.T == ref_T
+
+
+def test_infer_prior_inds_matches_reference(ref, rng):
+    c2ws = random_c2ws(rng, 30)
+    for strategy in ["interp", "nearest"]:
+        ours = prior.infer_prior_inds(
+            c2ws, 5, [0, 10, 20], EngineOptions(chunk_strategy=strategy)
+        )
+        theirs = ref.eval.infer_prior_inds(
+            torch.from_numpy(c2ws),
+            5,
+            [0, 10, 20],
+            {"chunk_strategy": strategy},
+        )
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_compute_relative_inds_matches_reference(ref):
+    source = np.array([2, 5, 9, 14])
+    target = np.array([2, 3, 7, 0, 20, 14])
+    ours = prior.compute_relative_inds(source, target)
+    theirs = ref.eval.compute_relative_inds(source, target)
+    assert ours == theirs
