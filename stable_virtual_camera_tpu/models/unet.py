@@ -1,0 +1,476 @@
+"""The Seva multiview diffusion UNet, TPU-native.
+
+Same computation graph capability as the reference torch model
+(seva/model.py:39-216, seva/modules/layers.py, seva/modules/transformer.py),
+re-designed for TPU:
+
+  * NHWC layout everywhere (XLA's native conv layout on TPU),
+  * bf16 matmul/conv path with fp32 GroupNorm/LayerNorm/softmax islands
+    (the reference's GroupNorm32 + CUDA-autocast semantics,
+    seva/modules/layers.py:61-63),
+  * attention via a dispatching SDPA (einsum / online-softmax chunked /
+    Pallas flash) instead of the pinned CUDA flash kernel
+    (seva/modules/transformer.py:70-71),
+  * align-corners bilinear FiLM resize as dense matrix contractions,
+  * everything shape-static so the whole denoise step jits into one program.
+
+Module names are chosen so the torch checkpoint maps 1:1
+(models/convert.py); topology is generated from `SevaSpec` exactly as the
+reference generates it from SevaParams (seva/model.py:54-174).
+
+Input channel layout (last axis): [latent(4) | input-mask(1) | Plücker(6)] —
+the SGMWrapper concat (seva/model.py:219-234) is `assemble_network_input`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from stable_virtual_camera_tpu.config import SevaSpec
+from stable_virtual_camera_tpu.ops.attention import scaled_dot_product_attention
+from stable_virtual_camera_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    upsample_nearest_2x,
+)
+
+Dtype = Any
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period: int = 10000
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, fp32, [cos | sin] packing
+    (reference seva/modules/layers.py:11-32)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32, result cast back to the compute dtype —
+    the GroupNorm32 numerics contract (reference seva/modules/layers.py:61-63)."""
+
+    param_dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.GroupNorm(
+            num_groups=self.groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="gn",
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+class LayerNorm32(nn.Module):
+    param_dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="ln",
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with fp32-softmax SDPA dispatch
+    (reference seva/modules/transformer.py:37-74)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        query_dim = x.shape[-1]
+        context = x if context is None else context
+        dense = lambda n, name, bias: nn.Dense(  # noqa: E731
+            n,
+            use_bias=bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        q = dense(inner, "to_q", False)(x)
+        k = dense(inner, "to_k", False)(context)
+        v = dense(inner, "to_v", False)(context)
+        B, L, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, L, self.heads, self.dim_head)
+        k = k.reshape(B, S, self.heads, self.dim_head)
+        v = v.reshape(B, S, self.heads, self.dim_head)
+        out = scaled_dot_product_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.reshape(B, L, inner)
+        return dense(query_dim, "to_out", True)(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP (reference seva/modules/transformer.py:8-34)."""
+
+    dim_out: int | None = None
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(x.shape[-1] * self.mult)
+        dim_out = self.dim_out or x.shape[-1]
+        h = nn.Dense(
+            inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_gate"
+        )(x)
+        val, gate = jnp.split(h, 2, axis=-1)
+        h = val * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
+        return nn.Dense(
+            dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN self-attn + cross-attn + GEGLU FF
+    (reference seva/modules/transformer.py:77-110)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, context):
+        kw = dict(
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
+        )
+        ln = lambda name: LayerNorm32(param_dtype=self.param_dtype, name=name)  # noqa: E731
+        x = Attention(**kw, name="attn1")(ln("norm1")(x)) + x
+        x = Attention(**kw, name="attn2")(ln("norm2")(x), context) + x
+        x = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(
+            ln("norm3")(x)
+        ) + x
+        return x
+
+
+class TransformerBlockTimeMix(nn.Module):
+    """Temporal attention: each spatial location attends across the T frames
+    (reference seva/modules/transformer.py:113-155). Note the final FF has no
+    residual, matching the reference."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, time_context, num_frames: int):
+        B, S, C = x.shape
+        b = B // num_frames
+        inner = self.heads * self.dim_head
+        kw = dict(
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
+        )
+        ln = lambda name: LayerNorm32(param_dtype=self.param_dtype, name=name)  # noqa: E731
+        ff = lambda name, dim_out: FeedForward(  # noqa: E731
+            dim_out=dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+
+        # (b*T, S, C) -> (b*S, T, C)
+        x = x.reshape(b, num_frames, S, C).transpose(0, 2, 1, 3).reshape(b * S, num_frames, C)
+        x = ff("ff_in", inner)(ln("norm_in")(x)) + x
+        x = Attention(**kw, name="attn1")(ln("norm1")(x)) + x
+        x = Attention(**kw, name="attn2")(ln("norm2")(x), time_context) + x
+        x = ff("ff", C)(ln("norm3")(x))  # no residual (reference line 153)
+        x = x.reshape(b, S, num_frames, C).transpose(0, 2, 1, 3).reshape(B, S, C)
+        return x
+
+
+class MultiviewTransformer(nn.Module):
+    """The 3D attention block (reference seva/modules/transformer.py:168-247).
+
+    For `unflatten=True` layers the spatial self-attention is computed over
+    the fused (T*h*w)-token multiview sequence; otherwise per-frame. Each
+    depth pairs a spatial block with a time-mix block merged by residual add.
+    """
+
+    heads: int
+    dim_head: int
+    depth: int
+    unflatten: bool
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, num_frames: int):
+        B, h, w, C = x.shape
+        b = B // num_frames
+        inner = self.heads * self.dim_head
+        x_in = x
+
+        # CLIP context of frame 0, one row per spatial location (time-mix kv)
+        time_context = jnp.repeat(context[::num_frames], h * w, axis=0)
+        ctx = context[::num_frames] if self.unflatten else context
+
+        y = GroupNorm32(param_dtype=self.param_dtype, eps=1e-6, name="norm")(x)
+        y = y.reshape(B, h * w, C)
+        y = nn.Dense(
+            inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
+        )(y)
+
+        for d in range(self.depth):
+            if self.unflatten:
+                y = y.reshape(b, num_frames * h * w, inner)
+            y = TransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas,
+                name=f"spatial_{d}",
+            )(y, ctx)
+            if self.unflatten:
+                y = y.reshape(B, h * w, inner)
+            y_mix = TransformerBlockTimeMix(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas,
+                name=f"temporal_{d}",
+            )(y, time_context, num_frames)
+            y = y + y_mix
+
+        y = nn.Dense(
+            C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(y)
+        return x_in + y.reshape(B, h, w, C)
+
+
+class ResBlock(nn.Module):
+    """Residual block with scalar time-embedding AND dense Plücker FiLM
+    conditioning (reference seva/modules/layers.py:86-139)."""
+
+    out_channels: int | None = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, dense_emb):
+        C = x.shape[-1]
+        out_ch = self.out_channels or C
+        conv = lambda n, k, name: nn.Conv(  # noqa: E731
+            n,
+            (k, k),
+            padding=[(k // 2, k // 2)] * 2,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+
+        h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="in_gn")(x))
+        # Dense spatial FiLM: Plücker map resized (align-corners bilinear) to
+        # this resolution, 1x1-projected to scale/shift
+        # (reference seva/modules/layers.py:125-131).
+        dense = resize_bilinear_align_corners(dense_emb, (x.shape[1], x.shape[2]))
+        dense = conv(2 * C, 1, "dense_proj")(dense).astype(h.dtype)
+        dense_scale, dense_shift = jnp.split(dense, 2, axis=-1)
+        h = h * (1 + dense_scale) + dense_shift
+        h = conv(out_ch, 3, "in_conv")(h)
+
+        e = nn.Dense(
+            out_ch, dtype=self.dtype, param_dtype=self.param_dtype, name="emb_proj"
+        )(nn.silu(emb.astype(jnp.float32)).astype(h.dtype))
+        h = h + e[:, None, None, :]
+
+        h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="out_gn")(h))
+        h = conv(out_ch, 3, "out_conv")(h)
+
+        skip = x if out_ch == C else conv(out_ch, 1, "skip")(x)
+        return skip + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (reference seva/modules/layers.py:49-58)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-2x + 3x3 conv (reference seva/modules/layers.py:35-46)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest_2x(x)
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class SevaUNet(nn.Module):
+    """The full denoiser UNet (reference seva/model.py:39-216), NHWC.
+
+    Call:
+      x:          (B, h, w, 11)  noisy latent ++ mask ++ Plücker, B = b * T
+      t_idx:      (B,)           discrete timestep indices
+      context:    (B, 1, ctx)    per-frame CLIP embedding (crossattn)
+      dense_emb:  (B, h, w, 6)   Plücker map (FiLM conditioning)
+      num_frames: static T
+    Returns (B, h, w, 4) predicted noise/v (ε-parameterization).
+    """
+
+    spec: SevaSpec
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, t_idx, context, dense_emb, num_frames: int):
+        sp = self.spec
+        mc = sp.model_channels
+        x = x.astype(self.dtype)
+        context = context.astype(self.dtype)
+        dense_emb = dense_emb.astype(self.dtype)
+
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        dense = lambda n, name: nn.Dense(n, name=name, **kw)  # noqa: E731
+        conv3 = lambda n, name: nn.Conv(  # noqa: E731
+            n, (3, 3), padding=[(1, 1), (1, 1)], name=name, **kw
+        )
+
+        def mvt(ch: int, level_name: str, name: str):
+            return MultiviewTransformer(
+                heads=ch // sp.num_head_channels,
+                dim_head=sp.num_head_channels,
+                depth=sp.transformer_depth[min(level_name_to_level[level_name], len(sp.transformer_depth) - 1)],
+                unflatten=level_name in sp.unflatten_names,
+                use_pallas=self.use_pallas,
+                name=name,
+                **kw,
+            )
+
+        # time embedding (reference seva/model.py:47-52, 185-186)
+        temb = timestep_embedding(t_idx, mc)
+        temb = dense(4 * mc, "time_embed_0")(temb.astype(self.dtype))
+        temb = dense(4 * mc, "time_embed_2")(nn.silu(temb.astype(jnp.float32)).astype(self.dtype))
+
+        level_name_to_level: dict[str, int] = {}
+        for level in range(len(sp.channel_mult)):
+            ds = 2**level
+            level_name_to_level[f"input_ds{ds}"] = level
+            level_name_to_level[f"output_ds{ds}"] = level
+            level_name_to_level[f"middle_ds{ds}"] = len(sp.channel_mult) - 1
+
+        # ---- encoder (reference seva/model.py:54-102, 190-198) ----
+        hs = []
+        h = conv3(mc, "input_blocks_0_0")(x)
+        hs.append(h)
+        ch, ds, block_idx = mc, 1, 1
+        for level, mult in enumerate(sp.channel_mult):
+            for _ in range(sp.num_res_blocks):
+                h = ResBlock(mult * mc, name=f"input_blocks_{block_idx}_0", **kw)(
+                    h, temb, dense_emb
+                )
+                ch = mult * mc
+                if ds in sp.attention_resolutions:
+                    h = mvt(ch, f"input_ds{ds}", f"input_blocks_{block_idx}_1")(
+                        h, context, num_frames
+                    )
+                hs.append(h)
+                block_idx += 1
+            if level != len(sp.channel_mult) - 1:
+                h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **kw)(h)
+                ds *= 2
+                hs.append(h)
+                block_idx += 1
+
+        # ---- middle (reference seva/model.py:107-131) ----
+        h = ResBlock(None, name="middle_block_0", **kw)(h, temb, dense_emb)
+        h = mvt(ch, f"middle_ds{ds}", "middle_block_1")(h, context, num_frames)
+        h = ResBlock(None, name="middle_block_2", **kw)(h, temb, dense_emb)
+
+        # ---- decoder with skip concats (reference seva/model.py:134-168, 206-214) ----
+        block_idx = 0
+        for level, mult in list(enumerate(sp.channel_mult))[::-1]:
+            for i in range(sp.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(mult * mc, name=f"output_blocks_{block_idx}_0", **kw)(
+                    h, temb, dense_emb
+                )
+                ch = mult * mc
+                layer_idx = 1
+                if ds in sp.attention_resolutions:
+                    h = mvt(ch, f"output_ds{ds}", f"output_blocks_{block_idx}_{layer_idx}")(
+                        h, context, num_frames
+                    )
+                    layer_idx += 1
+                if level and i == sp.num_res_blocks:
+                    h = Upsample(ch, name=f"output_blocks_{block_idx}_{layer_idx}", **kw)(h)
+                    ds //= 2
+                block_idx += 1
+
+        # ---- head (reference seva/model.py:170-174) ----
+        h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="out_gn")(h))
+        return conv3(sp.out_channels, "out_conv")(h).astype(jnp.float32)
+
+
+def assemble_network_input(
+    latents: jnp.ndarray, concat: jnp.ndarray
+) -> jnp.ndarray:
+    """Concatenate the 7 conditioning channels (mask ++ Plücker) onto the 4
+    noisy latent channels — the SGMWrapper role (reference seva/model.py:219-234),
+    NHWC."""
+    return jnp.concatenate([latents, concat.astype(latents.dtype)], axis=-1)

@@ -1,0 +1,61 @@
+"""Image resizing ops with the exact interpolation semantics the model needs.
+
+The ResBlock FiLM path resizes the 6-channel Plücker map with *align_corners*
+bilinear interpolation (reference seva/modules/layers.py:126-128), which
+differs from jax.image.resize's half-pixel convention. We implement it as two
+small dense matrix contractions (out = A_h @ x @ A_w^T per channel) — static,
+differentiable, and MXU-friendly.
+
+Upsample uses nearest-2x (reference seva/modules/layers.py:44).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) bilinear interpolation matrix, align_corners=True."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    if out_size == 1:
+        # align_corners maps the single output to input coordinate 0
+        A[0, 0] = 1.0
+        return A
+    scale = (in_size - 1) / (out_size - 1)
+    coords = np.arange(out_size) * scale
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = coords - lo
+    A[np.arange(out_size), lo] = 1.0 - frac
+    A[np.arange(out_size), lo + 1] = frac
+    return A
+
+
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, out_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """NHWC bilinear resize with align_corners=True (torch F.interpolate
+    semantics)."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    Ah = jnp.asarray(_align_corners_matrix(h_in, h_out))
+    Aw = jnp.asarray(_align_corners_matrix(w_in, w_out))
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x.astype(jnp.float32))
+    y = jnp.einsum("ow,bhwc->bhoc", Aw, y)
+    return y.astype(x.dtype)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC nearest-neighbor 2x upsample."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

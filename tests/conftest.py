@@ -10,12 +10,19 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on (virtual 8-device) CPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The image preloads jax via PYTHONPATH sitecustomize with JAX_PLATFORMS=axon
+# (real TPU through a tunnel) before conftest runs, so the env var alone is
+# not enough — force the platform on the already-imported module too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
