@@ -1,0 +1,220 @@
+"""Euler-EDM sampling as a single jitted `lax.scan`.
+
+The reference runs a Python loop of 50 sampler steps, each launching a
+CFG-doubled denoiser forward (seva/sampling.py:301-405) with per-call sigma
+quantization (DiscreteDenoiser, seva/sampling.py:105-152) and "replace"
+conditioning overwriting input-view latent slots (seva/sampling.py:146-148).
+
+TPU-native design:
+  * Everything that depends only on the sigma schedule — quantized sigmas,
+    discrete timestep indices, churn gammas, noise coefficients — is
+    precomputed on the host into a `SamplingPlan` of (n,) arrays.
+  * The whole denoising loop is ONE jitted program: `lax.scan` over steps,
+    each step doing replace-masking, CFG batch doubling, the UNet forward,
+    per-frame-scale guidance blending and the Euler update, with threefry
+    per-step noise folded from a single key. No host sync until the final x.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_virtual_camera_tpu.sampling.discretization import (
+    DDPMDiscretization,
+    sigma_to_idx,
+)
+
+
+@dataclass(frozen=True)
+class SamplingPlan:
+    """Host-precomputed per-step schedule arrays (all shape (n,))."""
+
+    sigma_hat_raw: np.ndarray  # churned sigma used in the Euler update
+    sigma_hat_quant: np.ndarray  # quantized sigma used for preconditioning
+    t_indices: np.ndarray  # discrete timestep index fed to the network
+    sigma_next: np.ndarray  # next sigma in the schedule
+    noise_coeff: np.ndarray  # per-step injected-noise std (churn)
+    init_scale: float  # sqrt(1 + sigma_0^2) initial noise scaling
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.t_indices)
+
+
+def make_sampling_plan(
+    discretization: DDPMDiscretization,
+    num_steps: int,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = 999.0,
+    s_noise: float = 1.0,
+) -> SamplingPlan:
+    """Precompute the whole sigma schedule (reference seva/sampling.py:325-405
+    prepare_sampling_loop + per-step gamma/sigma_hat computation)."""
+    sigmas = discretization(num_steps)  # descending, with appended 0
+    registered = discretization.registered_sigmas()
+    n = num_steps
+
+    sigma = sigmas[:n].astype(np.float64)
+    gamma = np.where(
+        (s_tmin <= sigma) & (sigma <= s_tmax),
+        min(s_churn / max(n - 1, 1), 2**0.5 - 1),
+        0.0,
+    )
+    sigma_hat_raw = sigma * (gamma + 1.0) + 1e-6
+    t_indices = sigma_to_idx(sigma_hat_raw.astype(np.float32), registered)
+    sigma_hat_quant = registered[t_indices]
+    noise_coeff = np.sqrt(np.maximum(sigma_hat_raw**2 - sigma**2, 0.0)) * s_noise
+    return SamplingPlan(
+        sigma_hat_raw=sigma_hat_raw.astype(np.float32),
+        sigma_hat_quant=sigma_hat_quant.astype(np.float32),
+        t_indices=t_indices.astype(np.int32),
+        sigma_next=sigmas[1 : n + 1].astype(np.float32),
+        noise_coeff=noise_coeff.astype(np.float32),
+        init_scale=float(np.sqrt(1.0 + sigmas[0].astype(np.float64) ** 2)),
+    )
+
+
+@dataclass
+class ChunkConditioning:
+    """Device-ready conditioning for one T-frame chunk, already CFG-doubled
+    along axis 0 ([uncond | cond], matching reference seva/sampling.py:231-242).
+
+    crossattn: (2T, 1, ctx)   CLIP embedding (zeros in the uncond half)
+    concat:    (2T, h, w, 7)  input-mask ++ Plücker (mask zeroed in uncond)
+    dense:     (2T, h, w, 6)  Plücker FiLM map (SAME in both halves)
+    replace:   (2T, h, w, 5)  input latents ++ replace mask (zeros in uncond)
+    scale:     (T,)           per-frame CFG scale vector
+    """
+
+    crossattn: Any
+    concat: Any
+    dense: Any
+    replace: Any
+    scale: Any
+
+
+NetworkFn = Callable[..., jnp.ndarray]
+# network_fn(x_2T(4ch), concat_2T(7ch), t_vec, crossattn, dense, num_frames)
+#   -> (2T, h, w, 4)
+# The concat channels are appended to the PRE-conditioned latent exactly as
+# SGMWrapper does (x*c_in ++ concat, reference seva/model.py:219-234 with
+# seva/sampling.py:149-152).
+
+
+def euler_edm_sample(
+    network_fn: NetworkFn,
+    noise: jnp.ndarray,  # (T, h, w, 4) standard normal
+    plan_arrays: dict[str, jnp.ndarray],
+    cond: ChunkConditioning,
+    key: jax.Array,
+    num_frames: int,
+) -> jnp.ndarray:
+    """The jittable sampling loop. `plan_arrays` holds the SamplingPlan fields
+    as device arrays plus 'init_scale' (scalar)."""
+    T = num_frames
+    x = noise * plan_arrays["init_scale"]
+
+    rep_lat, rep_mask = jnp.split(cond.replace, [noise.shape[-1]], axis=-1)
+    scale = cond.scale[:, None, None, None]
+
+    def step(carry, per_step):
+        x, key = carry
+        sigma_hat_raw, sigma_hat_quant, t_idx, sigma_next, noise_coeff = per_step
+        key, sub = jax.random.split(key)
+        eps = jax.random.normal(sub, x.shape, x.dtype)
+        x = x + eps * noise_coeff
+
+        xin = jnp.concatenate([x, x], axis=0)
+        # replace conditioning: overwrite input-view latents every call
+        # (reference seva/sampling.py:146-148)
+        xin = xin * (1 - rep_mask) + rep_lat * rep_mask
+
+        c_in = jax.lax.rsqrt(sigma_hat_quant**2 + 1.0)
+        t_vec = jnp.full((2 * T,), t_idx, jnp.int32)
+        out = network_fn(xin * c_in, cond.concat, t_vec, cond.crossattn, cond.dense, T)
+        denoised = out * (-sigma_hat_quant) + xin  # c_out, c_skip (EpsScaling)
+
+        uncond, condit = jnp.split(denoised, 2, axis=0)
+        denoised = uncond + scale * (condit - uncond)
+
+        d = (x - denoised) / sigma_hat_raw
+        x = x + (sigma_next - sigma_hat_raw) * d
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(
+        step,
+        (x, key),
+        (
+            plan_arrays["sigma_hat_raw"],
+            plan_arrays["sigma_hat_quant"],
+            plan_arrays["t_indices"],
+            plan_arrays["sigma_next"],
+            plan_arrays["noise_coeff"],
+        ),
+    )
+    return x
+
+
+def plan_to_device(plan: SamplingPlan) -> dict[str, jnp.ndarray]:
+    return {
+        "sigma_hat_raw": jnp.asarray(plan.sigma_hat_raw),
+        "sigma_hat_quant": jnp.asarray(plan.sigma_hat_quant),
+        "t_indices": jnp.asarray(plan.t_indices),
+        "sigma_next": jnp.asarray(plan.sigma_next),
+        "noise_coeff": jnp.asarray(plan.noise_coeff),
+        "init_scale": jnp.asarray(plan.init_scale, jnp.float32),
+    }
+
+
+class UNetDenoiser:
+    """Binds SevaUNet params into a `network_fn` and jit-caches the full
+    sampling program per (T, h, w, steps) shape bucket."""
+
+    def __init__(self, unet_module, params):
+        self.unet = unet_module
+        self.params = params
+        self._jitted: dict[tuple, Callable] = {}
+
+    def network_fn(self, x, concat, t_vec, crossattn, dense, num_frames):
+        from stable_virtual_camera_tpu.models.unet import assemble_network_input
+
+        net_in = assemble_network_input(x, concat)
+        return self.unet.apply(
+            {"params": self.params},
+            net_in,
+            t_vec,
+            crossattn,
+            dense,
+            num_frames=num_frames,
+        )
+
+    def sample(
+        self,
+        noise: jnp.ndarray,
+        plan: SamplingPlan,
+        cond: ChunkConditioning,
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        T, h, w, _ = noise.shape
+        bucket = (T, h, w, plan.num_steps)
+        if bucket not in self._jitted:
+            self._jitted[bucket] = jax.jit(
+                partial(euler_edm_sample, self.network_fn, num_frames=T)
+            )
+        return self._jitted[bucket](
+            noise, plan_to_device(plan), cond, key
+        )
+
+
+jax.tree_util.register_pytree_node(
+    ChunkConditioning,
+    lambda c: ((c.crossattn, c.concat, c.dense, c.replace, c.scale), None),
+    lambda _, xs: ChunkConditioning(*xs),
+)
