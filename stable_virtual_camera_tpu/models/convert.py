@@ -199,3 +199,234 @@ def convert_seva_state_dict(
         if unused:
             raise KeyError(f"{len(unused)} unconverted torch keys, e.g. {sorted(unused)[:5]}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL naming, both modern `to_q` and legacy `query`)
+# ---------------------------------------------------------------------------
+
+_VAE_ENC_BLOCKS = (128, 256, 512, 512)
+
+
+def _vae_resnet_entries(tp: str, fp: tuple[str, ...], has_skip: bool):
+    yield (f"{tp}.norm1", fp + ("norm1", "gn"), "norm")
+    yield (f"{tp}.conv1", fp + ("conv1",), "conv")
+    yield (f"{tp}.norm2", fp + ("norm2", "gn"), "norm")
+    yield (f"{tp}.conv2", fp + ("conv2",), "conv")
+    if has_skip:
+        yield (f"{tp}.conv_shortcut", fp + ("conv_shortcut",), "conv")
+
+
+def _vae_mid_entries(tp: str, fp: tuple[str, ...]):
+    yield from _vae_resnet_entries(f"{tp}.resnets.0", fp + ("resnet_0",), False)
+    yield (f"{tp}.attentions.0.group_norm", fp + ("attn", "group_norm", "gn"), "norm")
+    for t_name, f_name in (
+        ("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"), ("to_out.0", "to_out"),
+    ):
+        yield (f"{tp}.attentions.0.{t_name}", fp + ("attn", f_name), "linear")
+    yield from _vae_resnet_entries(f"{tp}.resnets.1", fp + ("resnet_1",), False)
+
+
+def vae_key_map():
+    """(torch_prefix, flax_path, kind) for the SD2.1 AutoencoderKL layout."""
+    blocks = _VAE_ENC_BLOCKS
+    # encoder
+    yield ("encoder.conv_in", ("encoder", "conv_in"), "conv")
+    ch = blocks[0]
+    for i, out in enumerate(blocks):
+        for j in range(2):
+            yield from _vae_resnet_entries(
+                f"encoder.down_blocks.{i}.resnets.{j}",
+                ("encoder", f"down_{i}_resnet_{j}"),
+                has_skip=(ch != out),
+            )
+            ch = out
+        if i < len(blocks) - 1:
+            yield (
+                f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                ("encoder", f"down_{i}_downsample", "conv"),
+                "conv",
+            )
+    yield from _vae_mid_entries("encoder.mid_block", ("encoder", "mid"))
+    yield ("encoder.conv_norm_out", ("encoder", "conv_norm_out", "gn"), "norm")
+    yield ("encoder.conv_out", ("encoder", "conv_out"), "conv")
+    yield ("quant_conv", ("quant_conv",), "conv")
+    # decoder
+    yield ("post_quant_conv", ("post_quant_conv",), "conv")
+    yield ("decoder.conv_in", ("decoder", "conv_in"), "conv")
+    yield from _vae_mid_entries("decoder.mid_block", ("decoder", "mid"))
+    rev = tuple(reversed(blocks))
+    ch = rev[0]
+    for i, out in enumerate(rev):
+        for j in range(3):
+            yield from _vae_resnet_entries(
+                f"decoder.up_blocks.{i}.resnets.{j}",
+                ("decoder", f"up_{i}_resnet_{j}"),
+                has_skip=(ch != out),
+            )
+            ch = out
+        if i < len(rev) - 1:
+            yield (
+                f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                ("decoder", f"up_{i}_upsample", "conv"),
+                "conv",
+            )
+    yield ("decoder.conv_norm_out", ("decoder", "conv_norm_out", "gn"), "norm")
+    yield ("decoder.conv_out", ("decoder", "conv_out"), "conv")
+
+
+_VAE_LEGACY_ATTN = {  # pre-0.15 diffusers attention key spelling
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
+}
+
+
+def convert_vae_state_dict(state_dict, dtype=np.float32, strict: bool = True) -> dict:
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    params: dict = {}
+    used = set()
+    for torch_prefix, flax_path, kind in vae_key_map():
+        for torch_suffix, (leaf, tf) in _KIND_LEAVES[kind].items():
+            key = f"{torch_prefix}.{torch_suffix}"
+            if key not in sd:
+                # legacy attention naming fallback
+                for new, old in _VAE_LEGACY_ATTN.items():
+                    if torch_prefix.endswith(new):
+                        alt = f"{torch_prefix[: -len(new)]}{old}.{torch_suffix}"
+                        if alt in sd:
+                            key = alt
+                        break
+            if key not in sd:
+                if strict:
+                    raise KeyError(f"Missing torch key {key}")
+                continue
+            val = sd[key]
+            if kind == "linear" and val.ndim == 4:  # legacy 1x1-conv attn weights
+                val = val[:, :, 0, 0]
+            _set_path(params, flax_path, leaf, tf(val).astype(dtype))
+            used.add(key)
+    if strict:
+        unused = set(sd) - used
+        if unused:
+            raise KeyError(f"{len(unused)} unconverted VAE keys, e.g. {sorted(unused)[:5]}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (open_clip `visual.*` naming, plus HF transformers naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_open_clip(state_dict, spec, dtype=np.float32) -> dict:
+    """Convert open_clip visual-tower weights (keys may or may not carry the
+    `visual.` prefix) into the `ClipVisionTower` param tree."""
+    sd = {
+        (k[len("visual."):] if k.startswith("visual.") else k): (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        )
+        for k, v in state_dict.items()
+    }
+    p: dict = {}
+    p["class_embedding"] = sd["class_embedding"].astype(dtype)
+    p["positional_embedding"] = sd["positional_embedding"].astype(dtype)
+    p["proj"] = sd["proj"].astype(dtype)  # already (width, embed_dim)
+    p["patch_embed"] = {
+        "kernel": np.transpose(sd["conv1.weight"], (2, 3, 1, 0)).astype(dtype)
+    }
+    for ln_t, ln_f in (("ln_pre", "ln_pre"), ("ln_post", "ln_post")):
+        p[ln_f] = {"ln": {
+            "scale": sd[f"{ln_t}.weight"].astype(dtype),
+            "bias": sd[f"{ln_t}.bias"].astype(dtype),
+        }}
+    for i in range(spec.layers):
+        tp = f"transformer.resblocks.{i}"
+        blk: dict = {}
+        for ln in ("ln_1", "ln_2"):
+            blk[ln] = {"ln": {
+                "scale": sd[f"{tp}.{ln}.weight"].astype(dtype),
+                "bias": sd[f"{tp}.{ln}.bias"].astype(dtype),
+            }}
+        blk["qkv"] = {
+            "kernel": np.transpose(sd[f"{tp}.attn.in_proj_weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.attn.in_proj_bias"].astype(dtype),
+        }
+        blk["out_proj"] = {
+            "kernel": np.transpose(sd[f"{tp}.attn.out_proj.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.attn.out_proj.bias"].astype(dtype),
+        }
+        blk["c_fc"] = {
+            "kernel": np.transpose(sd[f"{tp}.mlp.c_fc.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.mlp.c_fc.bias"].astype(dtype),
+        }
+        blk["c_proj"] = {
+            "kernel": np.transpose(sd[f"{tp}.mlp.c_proj.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.mlp.c_proj.bias"].astype(dtype),
+        }
+        p[f"block_{i}"] = blk
+    return p
+
+
+def convert_clip_hf(state_dict, spec, dtype=np.float32) -> dict:
+    """Convert HF transformers CLIPVisionModelWithProjection weights."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    vp = "vision_model"
+    p: dict = {}
+    p["class_embedding"] = sd[f"{vp}.embeddings.class_embedding"].astype(dtype)
+    p["positional_embedding"] = sd[f"{vp}.embeddings.position_embedding.weight"].astype(dtype)
+    p["proj"] = np.transpose(sd["visual_projection.weight"], (1, 0)).astype(dtype)
+    p["patch_embed"] = {
+        "kernel": np.transpose(
+            sd[f"{vp}.embeddings.patch_embedding.weight"], (2, 3, 1, 0)
+        ).astype(dtype)
+    }
+    pre_key = (
+        f"{vp}.pre_layrnorm" if f"{vp}.pre_layrnorm.weight" in sd else f"{vp}.pre_layernorm"
+    )
+    p["ln_pre"] = {"ln": {
+        "scale": sd[f"{pre_key}.weight"].astype(dtype),
+        "bias": sd[f"{pre_key}.bias"].astype(dtype),
+    }}
+    p["ln_post"] = {"ln": {
+        "scale": sd[f"{vp}.post_layernorm.weight"].astype(dtype),
+        "bias": sd[f"{vp}.post_layernorm.bias"].astype(dtype),
+    }}
+    for i in range(spec.layers):
+        tp = f"{vp}.encoder.layers.{i}"
+        blk: dict = {}
+        blk["ln_1"] = {"ln": {
+            "scale": sd[f"{tp}.layer_norm1.weight"].astype(dtype),
+            "bias": sd[f"{tp}.layer_norm1.bias"].astype(dtype),
+        }}
+        blk["ln_2"] = {"ln": {
+            "scale": sd[f"{tp}.layer_norm2.weight"].astype(dtype),
+            "bias": sd[f"{tp}.layer_norm2.bias"].astype(dtype),
+        }}
+        qw = sd[f"{tp}.self_attn.q_proj.weight"]
+        kw_ = sd[f"{tp}.self_attn.k_proj.weight"]
+        vw = sd[f"{tp}.self_attn.v_proj.weight"]
+        qb = sd[f"{tp}.self_attn.q_proj.bias"]
+        kb = sd[f"{tp}.self_attn.k_proj.bias"]
+        vb = sd[f"{tp}.self_attn.v_proj.bias"]
+        blk["qkv"] = {
+            "kernel": np.transpose(np.concatenate([qw, kw_, vw], 0), (1, 0)).astype(dtype),
+            "bias": np.concatenate([qb, kb, vb], 0).astype(dtype),
+        }
+        blk["out_proj"] = {
+            "kernel": np.transpose(sd[f"{tp}.self_attn.out_proj.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.self_attn.out_proj.bias"].astype(dtype),
+        }
+        blk["c_fc"] = {
+            "kernel": np.transpose(sd[f"{tp}.mlp.fc1.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.mlp.fc1.bias"].astype(dtype),
+        }
+        blk["c_proj"] = {
+            "kernel": np.transpose(sd[f"{tp}.mlp.fc2.weight"], (1, 0)).astype(dtype),
+            "bias": sd[f"{tp}.mlp.fc2.bias"].astype(dtype),
+        }
+        p[f"block_{i}"] = blk
+    return p
