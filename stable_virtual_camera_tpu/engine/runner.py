@@ -1,0 +1,749 @@
+"""The scene engine: chunked, optionally two-pass, autoregressive sampling.
+
+Orchestration parity with reference seva/eval.py:1218-1974 (`do_sample`,
+`run_one_scene`): the same chunk schedules, conditioning construction,
+autoregressive feedback of generated frames, two-pass anchor-then-interpolate
+procedure, save formats and yield points.
+
+TPU-native differences (by design, documented):
+  * the 50-step denoise loop runs as one jitted lax.scan per shape bucket
+    (or stepwise-jitted when progress/abort is requested),
+  * VAE/CLIP run batched over all views at once by default (the reference
+    chunks with encoding_t/decoding_t=1 for GPU memory; both are supported),
+  * RNG is JAX threefry keyed by (seed, pass, chunk) — reproducible, but a
+    different stream than torch's global RNG (parity is metric-level, not
+    bitwise; SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_virtual_camera_tpu.config import EngineOptions, SevaSpec, VersionConfig
+from stable_virtual_camera_tpu.core.transforms import (
+    load_img_and_K,
+    transform_img_and_K,
+)
+from stable_virtual_camera_tpu.engine import planner
+from stable_virtual_camera_tpu.engine.saving import (
+    decode_output,
+    extend_dict,
+    get_k_from_dict,
+    replace_or_include_input_for_dict,
+    save_output,
+    update_kv_for_dict,
+)
+from stable_virtual_camera_tpu.engine.value_dict import ChunkValues, build_chunk_values
+from stable_virtual_camera_tpu.models.clip import ClipVisionTower, preprocess
+from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
+from stable_virtual_camera_tpu.sampling import guidance
+from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+from stable_virtual_camera_tpu.sampling.sampler import (
+    ChunkConditioning,
+    SamplingPlan,
+    UNetDenoiser,
+    make_sampling_plan,
+)
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    reps = np.repeat(x[-1:], n - x.shape[0], axis=0)
+    return np.concatenate([x, reps], axis=0)
+
+
+class VaeApplier:
+    """Jitted, optionally view-chunked VAE encode/decode."""
+
+    def __init__(self, module: AutoEncoderKL, params):
+        self.module = module
+        self.params = params
+        self._encode = jax.jit(
+            lambda x: module.apply({"params": params}, x, method=module.encode)
+        )
+        self._decode = jax.jit(
+            lambda z: module.apply({"params": params}, z, method=module.decode)
+        )
+
+    def _chunked(self, fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
+        if x.shape[0] == 0:
+            return np.zeros((0,), np.float32)
+        if not chunk_size or chunk_size >= x.shape[0]:
+            return np.asarray(fn(jnp.asarray(x)))
+        n = x.shape[0]
+        padded = _pad_to(x, -(-n // chunk_size) * chunk_size)
+        outs = [
+            np.asarray(fn(jnp.asarray(padded[i : i + chunk_size])))
+            for i in range(0, padded.shape[0], chunk_size)
+        ]
+        return np.concatenate(outs, axis=0)[:n]
+
+    def encode(self, imgs: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
+        return self._chunked(self._encode, imgs, chunk_size)
+
+    def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
+        return self._chunked(self._decode, z, chunk_size)
+
+
+class ClipApplier:
+    """Jitted CLIP image embedding (preprocess fused into the program)."""
+
+    def __init__(self, module: ClipVisionTower, params):
+        self.module = module
+        self.params = params
+        size = module.spec.image_size
+        self._embed = jax.jit(
+            lambda x: module.apply({"params": params}, preprocess(x, size))
+        )
+
+    def embed(self, imgs: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed(jnp.asarray(imgs)))
+
+
+@dataclass
+class ModelBundle:
+    """Everything the engine needs to run a scene."""
+
+    spec: SevaSpec
+    denoiser: UNetDenoiser
+    vae: VaeApplier
+    clip: ClipApplier
+    discretization: DDPMDiscretization = field(default_factory=DDPMDiscretization)
+
+    _plans: dict[int, SamplingPlan] = field(default_factory=dict)
+
+    def plan(self, num_steps: int) -> SamplingPlan:
+        if num_steps not in self._plans:
+            self._plans[num_steps] = make_sampling_plan(
+                self.discretization, num_steps
+            )
+        return self._plans[num_steps]
+
+
+def sample_chunk(
+    bundle: ModelBundle,
+    values: ChunkValues,
+    *,
+    num_steps: int,
+    cfg: float,
+    guider_type: int,
+    cfg_min: float,
+    key: jax.Array,
+    encoding_t: int | None = None,
+    decoding_t: int | None = None,
+    latent_downsample: int = 8,
+    progress_cb=None,
+    abort_event=None,
+) -> np.ndarray | None:
+    """One chunk's conditioning + denoising + decode
+    (reference seva/eval.py:1218-1321 `do_sample`)."""
+    T, H, W = values.imgs.shape[0], values.imgs.shape[1], values.imgs.shape[2]
+    h, w = H // latent_downsample, W // latent_downsample
+    mask = values.input_frame_mask
+
+    latents = bundle.vae.encode(values.imgs[mask], encoding_t)  # (Ti, h, w, 4)
+    clip_emb = bundle.clip.embed(values.imgs_clip[mask]).mean(0)  # (ctx,)
+
+    C = latents.shape[-1]
+    replace_c = np.zeros((T, h, w, C + 1), np.float32)
+    replace_c[mask] = np.concatenate(
+        [latents, np.ones((*latents.shape[:-1], 1), np.float32)], axis=-1
+    )
+    crossattn_c = np.tile(clip_emb[None, None], (T, 1, 1)).astype(np.float32)
+    mask_map = np.broadcast_to(
+        mask[:, None, None, None].astype(np.float32), (T, h, w, 1)
+    )
+    concat_c = np.concatenate([mask_map, values.plucker], axis=-1)
+    concat_u = np.concatenate([np.zeros_like(mask_map), values.plucker], axis=-1)
+
+    scale_vec = guidance.compute_scale_vector(
+        guider_type, cfg, T, values.c2w, values.K, mask, cfg_min
+    )
+
+    cond = ChunkConditioning(
+        crossattn=jnp.concatenate(
+            [jnp.zeros_like(jnp.asarray(crossattn_c)), jnp.asarray(crossattn_c)], 0
+        ),
+        concat=jnp.concatenate([jnp.asarray(concat_u), jnp.asarray(concat_c)], 0),
+        dense=jnp.concatenate(
+            [jnp.asarray(values.plucker), jnp.asarray(values.plucker)], 0
+        ),
+        replace=jnp.concatenate(
+            [jnp.zeros_like(jnp.asarray(replace_c)), jnp.asarray(replace_c)], 0
+        ),
+        scale=jnp.asarray(scale_vec),
+    )
+
+    key_init, key_loop = jax.random.split(key)
+    noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
+    x = bundle.denoiser.sample(
+        noise, bundle.plan(num_steps), cond, key_loop,
+        progress_cb=progress_cb, abort_event=abort_event,
+    )
+    if x is None:
+        return None
+    return bundle.vae.decode(np.asarray(x), decoding_t)
+
+
+def _resolve_guiders(guider_types) -> list[int]:
+    if not isinstance(guider_types, (list, tuple)):
+        return [int(guider_types)]
+    return [int(g) for g in guider_types]
+
+
+def _cfg_at(cfg, i: int) -> float:
+    if isinstance(cfg, (list, tuple)):
+        return float(cfg[i]) if len(cfg) > i else float(cfg[0])
+    return float(cfg)
+
+
+class SceneEngine:
+    """Drives `run_one_scene` over a ModelBundle (the reference's generator
+    contract: yields video paths as passes complete, seva/eval.py:1324-1974)."""
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        version: VersionConfig,
+        options: EngineOptions,
+    ):
+        self.bundle = bundle
+        self.version = version
+        self.options = options
+
+    # ---------------- image preparation ----------------
+
+    def _prepare_images(self, image_cond, camera_cond):
+        """Load/transform all scene images + normalize Ks
+        (reference seva/eval.py:1352-1424)."""
+        options, version = self.options, self.version
+        W, H = version.W, version.H
+        F = version.f
+        imgs, imgs_clip, img_size = [], [], None
+        for i, (img, K) in enumerate(zip(image_cond["img"], camera_cond["K"])):
+            if isinstance(img, str) or img is None:
+                img_arr, K = load_img_and_K(img or img_size, None, K=np.asarray(K))
+                img_size = img_arr.shape[1:3]
+                mode = (
+                    options.get("transform_input", "crop")
+                    if i in image_cond["input_indices"]
+                    else options.get("transform_target", "crop")
+                )
+                scale = (
+                    1.0
+                    if i in image_cond["input_indices"]
+                    else options.get("transform_scale", 1.0)
+                )
+                if options.get("L_short", -1) == -1:
+                    img_arr, K = transform_img_and_K(
+                        img_arr, (W, H), K=K[None], mode=mode, scale=scale
+                    )
+                else:
+                    stride = F * 2**3
+                    assert options.get("L_short") % stride == 0, (
+                        f"Short side of the image should be divisible by {stride}."
+                    )
+                    img_arr, K = transform_img_and_K(
+                        img_arr,
+                        options.get("L_short"),
+                        K=K[None],
+                        size_stride=stride,
+                        mode=mode,
+                        scale=scale,
+                    )
+                    version.W = W = img_arr.shape[2]
+                    version.H = H = img_arr.shape[1]
+                K = K[0]
+                K[0] /= W
+                K[1] /= H
+                camera_cond["K"][i] = K
+            elif isinstance(img, np.ndarray):
+                img_size = img.shape[:2]
+                if img.dtype == np.uint8:
+                    img_arr = img.astype(np.float32)[None] / 255.0 * 2.0 - 1.0
+                else:
+                    img_arr = np.asarray(img, np.float32)[None]
+                    if img_arr.max() > 1.5:  # 0..255 float
+                        img_arr = img_arr / 255.0 * 2.0 - 1.0
+                img_arr, K = transform_img_and_K(
+                    img_arr, (W, H), K=np.asarray(K)[None]
+                )
+                K = K[0]
+                K[0] /= W
+                K[1] /= H
+                camera_cond["K"][i] = K
+            else:
+                raise TypeError(f"Unsupported image type {type(img)}")
+            imgs.append(img_arr)
+            imgs_clip.append(img_arr)
+        return (
+            np.concatenate(imgs, 0),
+            np.concatenate(imgs_clip, 0),
+            img_size,
+        )
+
+    def _prepare_prior_Ks(self, traj_prior_Ks, img_size):
+        options, version = self.options, self.version
+        W, H = version.W, version.H
+        out = []
+        for prior_k in traj_prior_Ks:
+            img, prior_k = load_img_and_K(img_size, None, K=np.asarray(prior_k))
+            img, prior_k = transform_img_and_K(
+                img,
+                (W, H),
+                K=prior_k[None],
+                mode=options.get("transform_target", "crop"),
+                scale=options.get("transform_scale", 1.0),
+            )
+            prior_k = prior_k[0]
+            prior_k[0] /= W
+            prior_k[1] /= H
+            out.append(prior_k)
+        return np.stack(out)
+
+    # ---------------- main generator ----------------
+
+    def run_one_scene(
+        self,
+        task: str,
+        image_cond: dict,
+        camera_cond: dict,
+        save_path: str,
+        use_traj_prior: bool = False,
+        traj_prior_Ks: np.ndarray | None = None,
+        traj_prior_c2ws: np.ndarray | None = None,
+        seed: int = 23,
+        abort_event=None,
+        first_pass_pbar: Callable | None = None,
+        second_pass_pbar: Callable | None = None,
+    ) -> Iterator[str]:
+        options = self.options
+        version = self.version
+        bundle = self.bundle
+        T = version.T
+        F = version.f
+
+        camera_cond = dict(camera_cond)
+        camera_cond["K"] = [np.asarray(k) for k in camera_cond["K"]]
+        imgs, imgs_clip, img_size = self._prepare_images(image_cond, camera_cond)
+        camera_cond["K"] = np.stack(camera_cond["K"]).astype(np.float32)
+        all_c2ws = np.asarray(camera_cond["c2w"], np.float32)
+
+        if traj_prior_Ks is not None:
+            assert img_size is not None
+            traj_prior_Ks = self._prepare_prior_Ks(traj_prior_Ks, img_size)
+
+        base_key = jax.random.PRNGKey(seed)
+
+        input_indices = list(image_cond["input_indices"])
+        input_imgs = imgs[input_indices]
+        input_imgs_clip = imgs_clip[input_indices]
+        input_c2ws = all_c2ws[input_indices]
+        input_Ks = camera_cond["K"][input_indices]
+
+        test_indices = [i for i in range(len(imgs)) if i not in input_indices]
+        test_imgs = imgs[test_indices]
+        test_imgs_clip = imgs_clip[test_indices]
+        test_c2ws = all_c2ws[test_indices]
+        test_Ks = camera_cond["K"][test_indices]
+
+        if options.get("save_input", True):
+            save_output(
+                {"/image": input_imgs},
+                save_path=osp.join(save_path, "input"),
+                video_save_fps=2,
+            )
+
+        guiders = _resolve_guiders(options.get("guider_types", 1))
+        num_steps = options.get("num_steps", 50)
+        cfg_min = options.get("cfg_min", 1.0)
+        cfg_opt = options.get("cfg", 2.0)
+        camera_scale = options.get("camera_scale", 2.0)
+        enc_t = options.get("encoding_t", 1)
+        dec_t = options.get("decoding_t", 1)
+
+        def chunk_values_for(
+            curr_imgs, curr_imgs_clip, frame_inds, curr_c2ws, curr_Ks, cam_inds
+        ):
+            return build_chunk_values(
+                curr_imgs,
+                curr_imgs_clip,
+                frame_inds,
+                curr_c2ws,
+                curr_Ks,
+                cam_inds,
+                all_c2ws=all_c2ws,
+                camera_scale=camera_scale,
+                latent_hw=(version.H // F, version.W // F),
+            )
+
+        if not use_traj_prior:
+            chunk_strategy = options.get("chunk_strategy", "gt")
+            plan = planner.chunk_input_and_test(
+                T if not isinstance(T, (list, tuple)) else T[0],
+                input_c2ws,
+                test_c2ws,
+                input_indices,
+                test_indices,
+                options=options,
+                task=task,
+                chunk_strategy=chunk_strategy,
+                gt_input_inds=list(range(input_c2ws.shape[0])),
+            )
+            print(
+                f"One pass - chunking with `{chunk_strategy}` strategy: total "
+                f"{len(plan.input_inds_per_chunk)} forward(s) ..."
+            )
+            T_run = T if not isinstance(T, (list, tuple)) else T[0]
+
+            all_samples: dict = {}
+            all_test_inds: list[int] = []
+            for i, (c_in_inds, c_in_sels, c_test_inds, c_test_sels) in enumerate(
+                zip(
+                    plan.input_inds_per_chunk,
+                    plan.input_sels_per_chunk,
+                    plan.test_inds_per_chunk,
+                    plan.test_sels_per_chunk,
+                )
+            ):
+                (
+                    curr_input_sels,
+                    curr_test_sels,
+                    curr_input_maps,
+                    curr_test_maps,
+                ) = planner.pad_indices(
+                    c_in_sels,
+                    c_test_sels,
+                    T=T_run,
+                    padding_mode=options.get("t_padding_mode", "last"),
+                )
+                gen = get_k_from_dict(all_samples, "samples-rgb")
+                pool_imgs = np.concatenate(
+                    [input_imgs, gen.reshape((-1,) + input_imgs.shape[1:])], 0
+                )
+                pool_clip = np.concatenate(
+                    [input_imgs_clip, gen.reshape((-1,) + input_imgs.shape[1:])], 0
+                )
+                pool_c2ws = np.concatenate([input_c2ws, test_c2ws[all_test_inds]], 0)
+                pool_Ks = np.concatenate([input_Ks, test_Ks[all_test_inds]], 0)
+                curr = [
+                    planner.assemble(
+                        input=x[c_in_inds],
+                        test=y[c_test_inds],
+                        input_maps=curr_input_maps,
+                        test_maps=curr_test_maps,
+                    )
+                    for x, y in zip(
+                        [pool_imgs, pool_clip, pool_c2ws, pool_Ks],
+                        [test_imgs, test_imgs_clip, test_c2ws, test_Ks],
+                    )
+                ]
+                curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
+                extra_sels = [
+                    sel
+                    for (ind, sel) in zip(
+                        np.array(c_test_inds)[curr_test_maps[curr_test_maps != -1]],
+                        curr_test_sels,
+                    )
+                    if test_indices[ind] in image_cond["input_indices"]
+                ]
+                values = chunk_values_for(
+                    curr_imgs,
+                    curr_imgs_clip,
+                    curr_input_sels + extra_sels,
+                    curr_c2ws,
+                    curr_Ks,
+                    curr_input_sels + extra_sels,
+                )
+                samples = sample_chunk(
+                    bundle,
+                    values,
+                    num_steps=num_steps,
+                    cfg=_cfg_at(cfg_opt, 0),
+                    guider_type=guiders[0],
+                    cfg_min=cfg_min,
+                    key=jax.random.fold_in(jax.random.fold_in(base_key, 0), i),
+                    encoding_t=enc_t,
+                    decoding_t=dec_t,
+                    latent_downsample=F,
+                    abort_event=abort_event,
+                )
+                if samples is None:
+                    return
+                samples = decode_output(samples, len(curr_imgs), c_test_sels)
+                if options.get("save_first_pass", False):
+                    save_output(
+                        replace_or_include_input_for_dict(
+                            samples, c_test_sels, curr_imgs, curr_c2ws, curr_Ks
+                        ),
+                        save_path=osp.join(save_path, "first-pass", f"forward_{i}"),
+                        video_save_fps=2,
+                    )
+                extend_dict(all_samples, samples)
+                all_test_inds.extend(c_test_inds)
+        else:
+            assert traj_prior_c2ws is not None, (
+                "`traj_prior_c2ws` should be set when using 2-pass sampling."
+            )
+            traj_prior_c2ws = np.asarray(traj_prior_c2ws, np.float32)
+            if traj_prior_Ks is None:
+                traj_prior_Ks = np.repeat(test_Ks[:1], traj_prior_c2ws.shape[0], 0)
+            traj_prior_imgs = np.zeros(
+                (traj_prior_c2ws.shape[0],) + imgs.shape[1:], np.float32
+            )
+            traj_prior_imgs_clip = traj_prior_imgs.copy()
+
+            T_first, T_second = (
+                (T[0], T[1]) if isinstance(T, (list, tuple)) else (T, T)
+            )
+
+            # ---------------- first pass: generate anchors ----------------
+            strategy1 = options.get("chunk_strategy_first_pass", "gt-nearest")
+            plan1 = planner.chunk_input_and_test(
+                T_first,
+                input_c2ws,
+                traj_prior_c2ws,
+                input_indices,
+                image_cond["prior_indices"],
+                options=options,
+                task=task,
+                chunk_strategy=strategy1,
+                gt_input_inds=list(range(input_c2ws.shape[0])),
+            )
+            print(
+                f"Two passes (first) - chunking with `{strategy1}` strategy: total "
+                f"{len(plan1.input_inds_per_chunk)} forward(s) ..."
+            )
+            all_samples = {}
+            all_prior_inds: list[int] = []
+            for i, (c_in_inds, c_in_sels, c_pri_inds, c_pri_sels) in enumerate(
+                zip(
+                    plan1.input_inds_per_chunk,
+                    plan1.input_sels_per_chunk,
+                    plan1.test_inds_per_chunk,
+                    plan1.test_sels_per_chunk,
+                )
+            ):
+                (
+                    curr_input_sels,
+                    curr_prior_sels,
+                    curr_input_maps,
+                    curr_prior_maps,
+                ) = planner.pad_indices(
+                    c_in_sels,
+                    c_pri_sels,
+                    T=T_first,
+                    padding_mode=options.get("t_padding_mode", "last"),
+                )
+                gen = get_k_from_dict(all_samples, "samples-rgb")
+                pool_imgs = np.concatenate(
+                    [input_imgs, gen.reshape((-1,) + input_imgs.shape[1:])], 0
+                )
+                pool_clip = np.concatenate(
+                    [input_imgs_clip, gen.reshape((-1,) + input_imgs.shape[1:])], 0
+                )
+                pool_c2ws = np.concatenate(
+                    [input_c2ws, traj_prior_c2ws[all_prior_inds]], 0
+                )
+                pool_Ks = np.concatenate([input_Ks, traj_prior_Ks[all_prior_inds]], 0)
+                curr = [
+                    planner.assemble(
+                        input=x[c_in_inds],
+                        test=y[c_pri_inds],
+                        input_maps=curr_input_maps,
+                        test_maps=curr_prior_maps,
+                    )
+                    for x, y in zip(
+                        [pool_imgs, pool_clip, pool_c2ws, pool_Ks],
+                        [
+                            traj_prior_imgs,
+                            traj_prior_imgs_clip,
+                            traj_prior_c2ws,
+                            traj_prior_Ks,
+                        ],
+                    )
+                ]
+                curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
+                values = chunk_values_for(
+                    curr_imgs,
+                    curr_imgs_clip,
+                    curr_input_sels,
+                    curr_c2ws,
+                    curr_Ks,
+                    list(range(T_first)),
+                )
+                use_second_sampler = (
+                    len(guiders) > 1
+                    and options.get("ltr_first_pass", False)
+                    and strategy1 != "gt"
+                    and i > 0
+                )
+                g = guiders[1] if use_second_sampler else guiders[0]
+                samples = sample_chunk(
+                    bundle,
+                    values,
+                    num_steps=num_steps,
+                    cfg=_cfg_at(cfg_opt, 0),
+                    guider_type=g,
+                    cfg_min=cfg_min,
+                    key=jax.random.fold_in(jax.random.fold_in(base_key, 1), i),
+                    encoding_t=enc_t,
+                    decoding_t=dec_t,
+                    latent_downsample=F,
+                    abort_event=abort_event,
+                    progress_cb=first_pass_pbar,
+                )
+                if samples is None:
+                    return
+                samples = decode_output(samples, T_first, c_pri_sels)
+                extend_dict(all_samples, samples)
+                all_prior_inds.extend(c_pri_inds)
+
+            if options.get("save_first_pass", True):
+                save_output(
+                    all_samples,
+                    save_path=osp.join(save_path, "first-pass"),
+                    video_save_fps=5,
+                )
+                yield osp.join(save_path, "first-pass", "samples-rgb.mp4")
+
+            # ------------- second pass: interpolate all targets -------------
+            prior_indices = image_cond["prior_indices"]
+            assert prior_indices is not None
+            prior_argsort = np.argsort(
+                list(input_indices) + list(prior_indices), kind="stable"
+            ).tolist()
+            prior_indices = np.array(list(input_indices) + list(prior_indices))[
+                prior_argsort
+            ].tolist()
+            gt_input_inds = [prior_argsort.index(i) for i in range(input_c2ws.shape[0])]
+
+            gen = get_k_from_dict(all_samples, "samples-rgb")
+            traj_prior_imgs = np.concatenate([input_imgs, gen], axis=0)[prior_argsort]
+            traj_prior_imgs_clip = np.concatenate(
+                [input_imgs_clip, gen], axis=0
+            )[prior_argsort]
+            traj_prior_c2ws = np.concatenate([input_c2ws, traj_prior_c2ws], axis=0)[
+                prior_argsort
+            ]
+            traj_prior_Ks = np.concatenate([input_Ks, traj_prior_Ks], axis=0)[
+                prior_argsort
+            ]
+            update_kv_for_dict(all_samples, "samples-rgb", traj_prior_imgs)
+            update_kv_for_dict(all_samples, "samples-c2ws", traj_prior_c2ws)
+            update_kv_for_dict(all_samples, "samples-intrinsics", traj_prior_Ks)
+
+            strategy2 = options.get("chunk_strategy", "nearest")
+            plan2 = planner.chunk_input_and_test(
+                T_second,
+                traj_prior_c2ws,
+                test_c2ws,
+                prior_indices,
+                test_indices,
+                options=options,
+                task=task,
+                chunk_strategy=strategy2,
+                gt_input_inds=gt_input_inds,
+            )
+            print(
+                f"Two passes (second) - chunking with `{strategy2}` strategy: total "
+                f"{len(plan2.input_inds_per_chunk)} forward(s) ..."
+            )
+            all_samples = {}
+            all_test_inds = []
+            for i, (c_pri_inds, c_pri_sels, c_test_inds, c_test_sels) in enumerate(
+                zip(
+                    plan2.input_inds_per_chunk,
+                    plan2.input_sels_per_chunk,
+                    plan2.test_inds_per_chunk,
+                    plan2.test_sels_per_chunk,
+                )
+            ):
+                (
+                    curr_prior_sels,
+                    curr_test_sels,
+                    curr_prior_maps,
+                    curr_test_maps,
+                ) = planner.pad_indices(
+                    c_pri_sels, c_test_sels, T=T_second, padding_mode="last"
+                )
+                curr = [
+                    planner.assemble(
+                        input=x[c_pri_inds],
+                        test=y[c_test_inds],
+                        input_maps=curr_prior_maps,
+                        test_maps=curr_test_maps,
+                    )
+                    for x, y in zip(
+                        [
+                            traj_prior_imgs,
+                            traj_prior_imgs_clip,
+                            traj_prior_c2ws,
+                            traj_prior_Ks,
+                        ],
+                        [test_imgs, test_imgs_clip, test_c2ws, test_Ks],
+                    )
+                ]
+                curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
+                values = chunk_values_for(
+                    curr_imgs,
+                    curr_imgs_clip,
+                    curr_prior_sels,
+                    curr_c2ws,
+                    curr_Ks,
+                    list(range(T_second)),
+                )
+                samples = sample_chunk(
+                    bundle,
+                    values,
+                    num_steps=num_steps,
+                    cfg=_cfg_at(cfg_opt, 1),
+                    guider_type=guiders[1] if len(guiders) > 1 else guiders[0],
+                    cfg_min=cfg_min,
+                    key=jax.random.fold_in(jax.random.fold_in(base_key, 2), i),
+                    encoding_t=enc_t,
+                    decoding_t=dec_t,
+                    latent_downsample=F,
+                    abort_event=abort_event,
+                    progress_cb=second_pass_pbar,
+                )
+                if samples is None:
+                    return
+                samples = decode_output(samples, T_second, c_test_sels)
+                if options.get("save_second_pass", False):
+                    save_output(
+                        replace_or_include_input_for_dict(
+                            samples, c_test_sels, curr_imgs, curr_c2ws, curr_Ks
+                        ),
+                        save_path=osp.join(save_path, "second-pass", f"forward_{i}"),
+                        video_save_fps=2,
+                    )
+                extend_dict(all_samples, samples)
+                all_test_inds.extend(c_test_inds)
+            all_samples = {
+                key: value[np.argsort(all_test_inds, kind="stable")]
+                for key, value in all_samples.items()
+            }
+
+        save_output(
+            replace_or_include_input_for_dict(
+                all_samples,
+                test_indices,
+                imgs.copy(),
+                np.asarray(camera_cond["c2w"]).copy(),
+                camera_cond["K"].copy(),
+            )
+            if options.get("replace_or_include_input", False)
+            else all_samples,
+            save_path=save_path,
+            video_save_fps=options.get("video_save_fps", 2),
+        )
+        yield osp.join(save_path, "samples-rgb.mp4")

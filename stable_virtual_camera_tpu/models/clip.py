@@ -43,7 +43,7 @@ class ClipVisionSpec:
     @staticmethod
     def tiny() -> "ClipVisionSpec":
         return ClipVisionSpec(
-            image_size=28, patch_size=14, width=64, layers=2, heads=4, embed_dim=32
+            image_size=28, patch_size=14, width=64, layers=2, heads=4, embed_dim=64
         )
 
 

@@ -1,0 +1,172 @@
+"""Model weight loading and bundle assembly.
+
+Capability parity with reference seva/utils.py:29-56 (`load_model`): loads the
+Seva UNet from a safetensors checkpoint (local path or HF hub when available),
+plus the frozen VAE / CLIP towers, into a ready `ModelBundle`. When no
+checkpoint is available (e.g. air-gapped CI), `random_bundle` builds a
+randomly initialized bundle at any spec — used by tests and smoke runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_virtual_camera_tpu.config import SevaSpec
+from stable_virtual_camera_tpu.models.clip import ClipVisionSpec, ClipVisionTower
+from stable_virtual_camera_tpu.models.convert import (
+    convert_clip_hf,
+    convert_clip_open_clip,
+    convert_seva_state_dict,
+    convert_vae_state_dict,
+)
+from stable_virtual_camera_tpu.models.unet import SevaUNet
+from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
+from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+
+def _load_safetensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def load_seva_params(
+    weight_path: str, spec: SevaSpec | None = None, param_dtype=jnp.bfloat16
+):
+    """safetensors checkpoint (torch names) -> flax params, cast to bf16
+    (the reference loads weights as bfloat16, seva/utils.py:50-51)."""
+    spec = spec or SevaSpec()
+    sd = _load_safetensors(weight_path)
+    params = convert_seva_state_dict(sd, spec, dtype=np.float32)
+    return _cast_tree(params, param_dtype)
+
+
+def load_vae_params(weight_path: str, param_dtype=jnp.bfloat16):
+    sd = _load_safetensors(weight_path)
+    # strip the diffusers "first_stage_model."/"vae." wrapper prefixes if present
+    for prefix in ("first_stage_model.", "vae."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params = convert_vae_state_dict(sd, dtype=np.float32)
+    return _cast_tree(params, param_dtype)
+
+
+def load_clip_params(
+    weight_path: str, spec: ClipVisionSpec | None = None, param_dtype=jnp.bfloat16
+):
+    spec = spec or ClipVisionSpec()
+    sd = _load_safetensors(weight_path)
+    if any(k.startswith("vision_model.") for k in sd):
+        params = convert_clip_hf(sd, spec, dtype=np.float32)
+    else:
+        params = convert_clip_open_clip(sd, spec, dtype=np.float32)
+    return _cast_tree(params, param_dtype)
+
+
+def random_bundle(
+    spec: SevaSpec | None = None,
+    clip_spec: ClipVisionSpec | None = None,
+    image_hw: tuple[int, int] = (64, 64),
+    dtype=jnp.float32,
+    param_dtype=jnp.float32,
+    use_pallas: bool = False,
+    seed: int = 0,
+):
+    """Randomly initialized ModelBundle (tests / smoke runs / benchmarks)."""
+    from stable_virtual_camera_tpu.engine.runner import (
+        ClipApplier,
+        ModelBundle,
+        VaeApplier,
+    )
+
+    spec = spec or SevaSpec.tiny()
+    clip_spec = clip_spec or ClipVisionSpec.tiny()
+    assert clip_spec.embed_dim == spec.context_dim, (
+        "CLIP embed_dim must equal the UNet context_dim"
+    )
+    H, W = image_hw
+    h, w = H // 8, W // 8
+    T = spec.num_frames
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    unet = SevaUNet(spec, dtype=dtype, param_dtype=param_dtype, use_pallas=use_pallas)
+    unet_params = unet.init(
+        k1,
+        jnp.zeros((T, h, w, spec.in_channels)),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 1, spec.context_dim)),
+        jnp.zeros((T, h, w, spec.dense_in_channels)),
+        num_frames=T,
+    )["params"]
+
+    vae = AutoEncoderKL(dtype=dtype, param_dtype=param_dtype)
+    vae_params = vae.init(k2, jnp.zeros((1, 16, 16, 3)))["params"]
+
+    clip = ClipVisionTower(clip_spec, dtype=dtype, param_dtype=param_dtype)
+    clip_params = clip.init(
+        k3, jnp.zeros((1, clip_spec.image_size, clip_spec.image_size, 3))
+    )["params"]
+
+    return ModelBundle(
+        spec=spec,
+        denoiser=UNetDenoiser(unet, unet_params),
+        vae=VaeApplier(vae, vae_params),
+        clip=ClipApplier(clip, clip_params),
+        discretization=DDPMDiscretization(),
+    )
+
+
+def load_bundle(
+    checkpoint_dir: str,
+    spec: SevaSpec | None = None,
+    clip_spec: ClipVisionSpec | None = None,
+    dtype=jnp.bfloat16,
+    param_dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+):
+    """Load a full pretrained bundle from a directory with
+    model.safetensors (UNet), vae.safetensors, clip.safetensors."""
+    from stable_virtual_camera_tpu.engine.runner import (
+        ClipApplier,
+        ModelBundle,
+        VaeApplier,
+    )
+
+    spec = spec or SevaSpec()
+    clip_spec = clip_spec or ClipVisionSpec()
+    unet = SevaUNet(spec, dtype=dtype, param_dtype=param_dtype, use_pallas=use_pallas)
+    vae = AutoEncoderKL(dtype=dtype, param_dtype=param_dtype)
+    clip = ClipVisionTower(clip_spec, dtype=dtype, param_dtype=param_dtype)
+    unet_params = load_seva_params(
+        os.path.join(checkpoint_dir, "model.safetensors"), spec, param_dtype
+    )
+    vae_params = load_vae_params(
+        os.path.join(checkpoint_dir, "vae.safetensors"), param_dtype
+    )
+    clip_params = load_clip_params(
+        os.path.join(checkpoint_dir, "clip.safetensors"), clip_spec, param_dtype
+    )
+    return ModelBundle(
+        spec=spec,
+        denoiser=UNetDenoiser(unet, unet_params),
+        vae=VaeApplier(vae, vae_params),
+        clip=ClipApplier(clip, clip_params),
+        discretization=DDPMDiscretization(),
+    )

@@ -121,31 +121,10 @@ def euler_edm_sample(
     T = num_frames
     x = noise * plan_arrays["init_scale"]
 
-    rep_lat, rep_mask = jnp.split(cond.replace, [noise.shape[-1]], axis=-1)
-    scale = cond.scale[:, None, None, None]
-
     def step(carry, per_step):
         x, key = carry
-        sigma_hat_raw, sigma_hat_quant, t_idx, sigma_next, noise_coeff = per_step
         key, sub = jax.random.split(key)
-        eps = jax.random.normal(sub, x.shape, x.dtype)
-        x = x + eps * noise_coeff
-
-        xin = jnp.concatenate([x, x], axis=0)
-        # replace conditioning: overwrite input-view latents every call
-        # (reference seva/sampling.py:146-148)
-        xin = xin * (1 - rep_mask) + rep_lat * rep_mask
-
-        c_in = jax.lax.rsqrt(sigma_hat_quant**2 + 1.0)
-        t_vec = jnp.full((2 * T,), t_idx, jnp.int32)
-        out = network_fn(xin * c_in, cond.concat, t_vec, cond.crossattn, cond.dense, T)
-        denoised = out * (-sigma_hat_quant) + xin  # c_out, c_skip (EpsScaling)
-
-        uncond, condit = jnp.split(denoised, 2, axis=0)
-        denoised = uncond + scale * (condit - uncond)
-
-        d = (x - denoised) / sigma_hat_raw
-        x = x + (sigma_next - sigma_hat_raw) * d
+        x = euler_edm_step(network_fn, x, per_step, cond, sub, num_frames=T)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(
@@ -160,6 +139,41 @@ def euler_edm_sample(
         ),
     )
     return x
+
+
+def euler_edm_step(
+    network_fn: NetworkFn,
+    x: jnp.ndarray,
+    per_step: tuple,
+    cond: ChunkConditioning,
+    step_key: jax.Array,
+    num_frames: int,
+) -> jnp.ndarray:
+    """One churned Euler step (reference seva/sampling.py:347-368 with the
+    DiscreteDenoiser preconditioning of seva/sampling.py:133-152)."""
+    T = num_frames
+    sigma_hat_raw, sigma_hat_quant, t_idx, sigma_next, noise_coeff = per_step
+    rep_lat, rep_mask = jnp.split(cond.replace, [x.shape[-1]], axis=-1)
+    scale = cond.scale[:, None, None, None]
+
+    eps = jax.random.normal(step_key, x.shape, x.dtype)
+    x = x + eps * noise_coeff
+
+    xin = jnp.concatenate([x, x], axis=0)
+    # replace conditioning: overwrite input-view latents every call
+    # (reference seva/sampling.py:146-148)
+    xin = xin * (1 - rep_mask) + rep_lat * rep_mask
+
+    c_in = jax.lax.rsqrt(sigma_hat_quant**2 + 1.0)
+    t_vec = jnp.full((2 * T,), t_idx, jnp.int32)
+    out = network_fn(xin * c_in, cond.concat, t_vec, cond.crossattn, cond.dense, T)
+    denoised = out * (-sigma_hat_quant) + xin  # c_out, c_skip (EpsScaling)
+
+    uncond, condit = jnp.split(denoised, 2, axis=0)
+    denoised = uncond + scale * (condit - uncond)
+
+    d = (x - denoised) / sigma_hat_raw
+    return x + (sigma_next - sigma_hat_raw) * d
 
 
 def plan_to_device(plan: SamplingPlan) -> dict[str, jnp.ndarray]:
@@ -201,16 +215,52 @@ class UNetDenoiser:
         plan: SamplingPlan,
         cond: ChunkConditioning,
         key: jax.Array,
-    ) -> jnp.ndarray:
+        progress_cb=None,
+        abort_event=None,
+    ) -> jnp.ndarray | None:
+        """Run the full denoising loop.
+
+        Fast path: one jitted lax.scan program. If `progress_cb` or
+        `abort_event` is given, runs step-by-step (one jitted step, python
+        loop) so progress can be reported and sampling aborted per sigma step
+        — the GradioTrackedSampler capability (reference seva/eval.py:1037-1089).
+        Returns None if aborted.
+        """
         T, h, w, _ = noise.shape
-        bucket = (T, h, w, plan.num_steps)
+        if progress_cb is None and abort_event is None:
+            bucket = ("scan", T, h, w, plan.num_steps)
+            if bucket not in self._jitted:
+                self._jitted[bucket] = jax.jit(
+                    partial(euler_edm_sample, self.network_fn, num_frames=T)
+                )
+            return self._jitted[bucket](noise, plan_to_device(plan), cond, key)
+
+        bucket = ("step", T, h, w)
         if bucket not in self._jitted:
             self._jitted[bucket] = jax.jit(
-                partial(euler_edm_sample, self.network_fn, num_frames=T)
+                partial(euler_edm_step, self.network_fn, num_frames=T)
             )
-        return self._jitted[bucket](
-            noise, plan_to_device(plan), cond, key
-        )
+        step_fn = self._jitted[bucket]
+        pa = plan_to_device(plan)
+        x = noise * pa["init_scale"]
+        for i in range(plan.num_steps):
+            per_step = tuple(
+                pa[k][i]
+                for k in (
+                    "sigma_hat_raw",
+                    "sigma_hat_quant",
+                    "t_indices",
+                    "sigma_next",
+                    "noise_coeff",
+                )
+            )
+            key, sub = jax.random.split(key)
+            x = step_fn(x, per_step, cond, sub)
+            if progress_cb is not None:
+                progress_cb(i + 1, plan.num_steps)
+            if abort_event is not None and abort_event.is_set():
+                return None
+        return x
 
 
 jax.tree_util.register_pytree_node(

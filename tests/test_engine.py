@@ -1,0 +1,123 @@
+"""End-to-end engine tests with a tiny random ModelBundle: single-pass and
+two-pass sampling produce the right files/shapes and are deterministic."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+from stable_virtual_camera_tpu.engine.runner import SceneEngine
+from stable_virtual_camera_tpu.models.io import random_bundle
+
+from conftest import random_c2ws
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return random_bundle(image_hw=(64, 64))
+
+
+def _scene(rng, n=6):
+    imgs = (rng.uniform(0, 255, size=(n, 64, 64, 3))).astype(np.uint8)
+    c2ws = random_c2ws(rng, n).astype(np.float32)[:, :3]
+    Ks = np.repeat(
+        np.array(
+            [[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]], dtype=np.float32
+        )[None],
+        n,
+        axis=0,
+    )
+    return imgs, c2ws, Ks
+
+
+def _options(**kw):
+    base = dict(
+        num_steps=3,
+        cfg=2.0,
+        cfg_min=1.2,
+        guider_types=1,
+        chunk_strategy="nearest-gt",
+        sampler_verbose=False,
+        video_save_fps=5.0,
+        encoding_t=0,
+        decoding_t=0,
+    )
+    base.update(kw)
+    return EngineOptions().update(base)
+
+
+def _run(bundle, tmp_path, options, use_traj_prior=False, prior_indices=None,
+         prior_c2ws=None, seed=23, subdir="out"):
+    rng = np.random.default_rng(7)
+    imgs, c2ws, Ks = _scene(rng)
+    engine = SceneEngine(bundle, VersionConfig(H=64, W=64, T=3), options)
+    image_cond = {
+        "img": [im for im in imgs],
+        "input_indices": [0],
+        "prior_indices": prior_indices,
+    }
+    camera_cond = {
+        "c2w": c2ws,
+        "K": [k for k in Ks],
+        "input_indices": list(range(len(imgs))),
+    }
+    save_path = osp.join(str(tmp_path), subdir)
+    paths = list(
+        engine.run_one_scene(
+            "img2trajvid" if use_traj_prior else "img2vid",
+            image_cond,
+            camera_cond,
+            save_path=save_path,
+            use_traj_prior=use_traj_prior,
+            traj_prior_Ks=None,
+            traj_prior_c2ws=prior_c2ws,
+            seed=seed,
+        )
+    )
+    return save_path, paths
+
+
+def test_single_pass_end_to_end(bundle, tmp_path):
+    save_path, paths = _run(bundle, tmp_path, _options())
+    assert osp.exists(paths[-1])
+    assert osp.exists(osp.join(save_path, "samples-rgb.mp4"))
+    assert osp.exists(osp.join(save_path, "input", ".mp4")) or osp.exists(
+        osp.join(save_path, "input")
+    )
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    frames = read_video(osp.join(save_path, "samples-rgb.mp4"))
+    assert frames.shape[0] == 5  # 6 views - 1 input
+
+
+def test_two_pass_end_to_end(bundle, tmp_path):
+    rng = np.random.default_rng(3)
+    prior_c2ws = random_c2ws(rng, 2).astype(np.float32)[:, :3]
+    options = _options(
+        chunk_strategy="nearest", chunk_strategy_first_pass="gt",
+        guider_types=[1, 2], cfg=[2.0, 2.0],
+    )
+    save_path, paths = _run(
+        bundle,
+        tmp_path,
+        options,
+        use_traj_prior=True,
+        prior_indices=[1.5, 3.5],
+        prior_c2ws=prior_c2ws,
+    )
+    assert len(paths) == 2  # first-pass video + final video
+    assert osp.exists(paths[0]) and osp.exists(paths[1])
+
+
+def test_determinism(bundle, tmp_path):
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    p1, _ = _run(bundle, tmp_path, _options(), seed=5, subdir="a")
+    p2, _ = _run(bundle, tmp_path, _options(), seed=5, subdir="b")
+    p3, _ = _run(bundle, tmp_path, _options(), seed=9, subdir="c")
+    a = read_video(osp.join(p1, "samples-rgb.mp4"))
+    b = read_video(osp.join(p2, "samples-rgb.mp4"))
+    c = read_video(osp.join(p3, "samples-rgb.mp4"))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a.astype(int) - c.astype(int)).mean() > 0.5  # seed changes output
