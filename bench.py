@@ -1,0 +1,133 @@
+"""Benchmark: full-scale Seva chunk throughput on one TPU chip.
+
+Workload = the reference's hot path for one context window (SURVEY.md §6):
+T=21 frames at 576x576, 50 CFG-doubled Euler denoise steps through the 1.3B
+UNet (bf16) + VAE decode of all 21 frames. Metric: end-to-end frames/sec.
+
+Baseline: H100 + torch.compile end-to-end ~0.54 frames/sec
+(134 frames / 250 s, docs/GR_USAGE.md:68-69; BASELINE.md "derived throughput").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+H, W, T, STEPS = 576, 576, 21, 50
+BASELINE_FPS = 0.54  # H100 w/ compile, end-to-end (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_params
+    from stable_virtual_camera_tpu.config import SevaSpec
+    from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
+    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL, VaeDecoder
+    from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+    from stable_virtual_camera_tpu.sampling.sampler import (
+        ChunkConditioning,
+        euler_edm_sample,
+        make_sampling_plan,
+        plan_to_device,
+    )
+
+    h, w = H // 8, W // 8
+    spec = SevaSpec()  # the flagship 1.3B configuration
+    unet = SevaUNet(spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    params = _synthetic_params(unet, T, h, w, spec, jnp, jax)
+
+    def network_fn(x, concat, t_vec, crossattn, dense, num_frames):
+        return unet.apply(
+            {"params": params},
+            assemble_network_input(x, concat),
+            t_vec,
+            crossattn,
+            dense,
+            num_frames=num_frames,
+        )
+
+    plan = plan_to_device(make_sampling_plan(DDPMDiscretization(), STEPS))
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (T, h, w, 4), jnp.float32)
+    cond = ChunkConditioning(
+        crossattn=jnp.zeros((2 * T, 1, spec.context_dim), jnp.bfloat16),
+        concat=jnp.zeros((2 * T, h, w, 7), jnp.bfloat16),
+        dense=jnp.zeros((2 * T, h, w, 6), jnp.bfloat16),
+        replace=jnp.zeros((2 * T, h, w, 5), jnp.float32),
+        scale=jnp.full((T,), 2.0, jnp.float32),
+    )
+
+    sample = jax.jit(
+        lambda noise, plan, cond, key: euler_edm_sample(
+            network_fn, noise, plan, cond, key, num_frames=T
+        )
+    )
+    # warmup/compile
+    z = sample(noise, plan, cond, key)
+    z.block_until_ready()
+    t0 = time.perf_counter()
+    z = sample(noise, plan, cond, key)
+    z.block_until_ready()
+    t_denoise = time.perf_counter() - t0
+
+    # VAE decode (decoder only; synthetic weights)
+    vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    dec_shapes = jax.eval_shape(
+        lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    )
+
+    def fill(path, s):
+        name = path[-1].key
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        if name == "bias":
+            return jnp.zeros(s.shape, s.dtype)
+        fan_in = int(np.prod(s.shape[:-1])) if len(s.shape) > 1 else 1
+        return (
+            jax.random.normal(jax.random.PRNGKey(hash(str(path)) % (2**31)), s.shape)
+            * (1.0 / max(fan_in, 1)) ** 0.5
+        ).astype(s.dtype)
+
+    vae_params = jax.tree_util.tree_map_with_path(fill, dec_shapes)
+    decode = jax.jit(
+        lambda z1: vae.apply({"params": vae_params}, z1, method=AutoEncoderKL.decode)
+    )
+    z1 = z[:1]
+    decode(z1).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for i in range(T):
+        out = decode(z[i : i + 1])
+    out.block_until_ready()
+    t_decode = time.perf_counter() - t0
+
+    fps = T / (t_denoise + t_decode)
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_chip_576_denoise50_decode",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "detail": {
+                    "t_denoise_s": round(t_denoise, 3),
+                    "t_decode_s": round(t_decode, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "bench_error", "value": 0, "unit": "error",
+                          "vs_baseline": 0, "detail": repr(e)[:400]}))
+        sys.exit(1)

@@ -1,0 +1,383 @@
+"""Command-line app with the reference demo's flag surface.
+
+Task semantics parity with reference demo.py:68-271 (`parse_task`) and
+demo.py:274-404 (`main`): the four tasks (img2img, img2vid, img2trajvid,
+img2trajvid_s-prob), reconfusion split resolution, anchor synthesis
+(spiral / interpolated / orbit / presets), per-scene loop with skip_saved,
+and the OpenCV->OpenGL transforms.json export.
+
+Model loading: --checkpoint_dir points at converted safetensors weights
+(model/vae/clip, see models/io.py); --random_model runs a tiny randomly
+initialized bundle for smoke tests on machines without weights.
+
+Invocation (fire-style `--key value` or `--key=value` flags):
+  python -m stable_virtual_camera_tpu.apps.cli --data_path ... --task img2img
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+from PIL import Image
+
+from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+from stable_virtual_camera_tpu.core.camera import get_default_intrinsics
+from stable_virtual_camera_tpu.core.trajectories import (
+    generate_interpolated_path,
+    generate_spiral_path,
+    get_arc_horizontal_w2cs,
+    get_lookat,
+    get_preset_pose_fov,
+)
+from stable_virtual_camera_tpu.data.parsers import get_parser
+from stable_virtual_camera_tpu.engine.prior import (
+    compute_relative_inds,
+    infer_prior_inds,
+    infer_prior_stats,
+)
+from stable_virtual_camera_tpu.engine.runner import SceneEngine
+from stable_virtual_camera_tpu.engine.saving import create_transforms_simple
+
+WORK_DIR = "work_dirs/demo"
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+def parse_task(task, scene, num_inputs, T, version: VersionConfig, options: EngineOptions):
+    """Resolve a task into (paths, indices, poses, Ks, anchors)
+    (reference demo.py:68-271)."""
+    anchor_indices = None
+    anchor_c2ws = None
+    anchor_Ks = None
+
+    if task == "img2trajvid_s-prob":
+        if num_inputs is not None:
+            assert num_inputs == 1, (
+                "Task `img2trajvid_s-prob` only supports 1-view conditioning."
+            )
+        else:
+            num_inputs = 1
+        T_ = T[0] if isinstance(T, (list, tuple)) else T
+        num_targets = options.get("num_targets", None) or T_ - 1
+        num_anchors = infer_prior_stats(T, num_inputs, num_targets, version, options)
+
+        input_indices = [0]
+        anchor_indices = np.linspace(1, num_targets, num_anchors).tolist()
+        all_imgs_path = [scene] + [None] * num_targets
+
+        c2ws, fovs = get_preset_pose_fov(
+            option=options.get("traj_prior", None) or "orbit",
+            num_frames=num_targets + 1,
+            start_w2c=np.eye(4),
+            look_at=np.array([0.0, 0.0, 10.0]),
+        )
+        with Image.open(scene) as img:
+            W, H = img.size
+            aspect_ratio = W / H
+        Ks = get_default_intrinsics(fovs, aspect_ratio=aspect_ratio).astype(np.float64)
+        Ks[:, :2] *= np.array([W, H], dtype=np.float64).reshape(1, 2, 1)  # unnormalized
+
+        anchor_c2ws = c2ws[[round(ind) for ind in anchor_indices]]
+        anchor_Ks = Ks[[round(ind) for ind in anchor_indices]]
+    else:
+        parser = get_parser("reconfusion", data_dir=scene, normalize=False)
+        all_imgs_path = parser.image_paths
+        c2ws = parser.camtoworlds
+        Ks = np.concatenate(
+            [parser.Ks_dict[cam_id][None] for cam_id in parser.camera_ids], 0
+        )
+
+        if num_inputs is None:
+            assert len(parser.splits_per_num_input_frames.keys()) == 1
+            num_inputs = list(parser.splits_per_num_input_frames.keys())[0]
+            split_dict = parser.splits_per_num_input_frames[num_inputs]
+        elif isinstance(num_inputs, str):
+            split_dict = parser.splits_per_num_input_frames[num_inputs]
+            num_inputs = int(num_inputs.split("-")[0])
+        else:
+            split_dict = parser.splits_per_num_input_frames[num_inputs]
+
+        num_targets = len(split_dict["test_ids"])
+
+        if task == "img2img":
+            num_anchors = infer_prior_stats(T, num_inputs, num_targets, version, options)
+            sampled_indices = np.sort(
+                np.array(split_dict["train_ids"] + split_dict["test_ids"])
+            )
+            traj_prior = options.get("traj_prior", None)
+            if traj_prior == "spiral":
+                assert parser.bounds is not None
+                flip = np.diag([1.0, -1.0, -1.0, 1.0])
+                anchor_c2ws = generate_spiral_path(
+                    c2ws[sampled_indices] @ flip,
+                    parser.bounds[sampled_indices],
+                    n_frames=num_anchors + 1,
+                    n_rots=2,
+                    zrate=0.5,
+                    endpoint=False,
+                )[1:] @ np.diag([1.0, -1.0, -1.0, 1.0])
+            elif traj_prior == "interpolated":
+                assert num_inputs > 1
+                anchor_c2ws = generate_interpolated_path(
+                    c2ws[split_dict["train_ids"], :3],
+                    round((num_anchors + 1) / (num_inputs - 1)),
+                    endpoint=False,
+                )[1 : num_anchors + 1]
+            elif traj_prior == "orbit":
+                lookat = get_lookat(
+                    c2ws[sampled_indices, :3, 3], c2ws[sampled_indices, :3, 2]
+                )
+                anchor_c2ws = np.linalg.inv(
+                    get_arc_horizontal_w2cs(
+                        np.linalg.inv(c2ws[split_dict["train_ids"][0]]),
+                        lookat,
+                        -_normalize(c2ws[split_dict["train_ids"]][:, :3, 1].mean(0)),
+                        num_frames=num_anchors + 1,
+                        endpoint=False,
+                    )
+                )[1:, :3]
+            else:
+                anchor_c2ws = None
+
+            all_imgs_path = [all_imgs_path[i] for i in sampled_indices]
+            c2ws = c2ws[sampled_indices]
+            Ks = Ks[sampled_indices]
+            input_indices = compute_relative_inds(
+                sampled_indices, np.array(split_dict["train_ids"])
+            )
+            anchor_indices = np.arange(
+                sampled_indices.shape[0], sampled_indices.shape[0] + num_anchors
+            ).tolist()
+
+        elif task == "img2vid":
+            num_targets = len(all_imgs_path) - num_inputs
+            num_anchors = infer_prior_stats(T, num_inputs, num_targets, version, options)
+            input_indices = split_dict["train_ids"]
+            anchor_indices = infer_prior_inds(
+                c2ws, num_prior_frames=num_anchors,
+                input_frame_indices=input_indices, options=options,
+            ).tolist()
+            num_anchors = len(anchor_indices)
+            anchor_c2ws = c2ws[anchor_indices, :3]
+            anchor_Ks = Ks[anchor_indices]
+
+        elif task == "img2trajvid":
+            num_anchors = infer_prior_stats(T, num_inputs, num_targets, version, options)
+            target_c2ws = c2ws[split_dict["test_ids"], :3]
+            target_Ks = Ks[split_dict["test_ids"]]
+            sel = np.linspace(0, num_targets - 1, num_anchors).round().astype(np.int64)
+            anchor_c2ws = target_c2ws[sel]
+            anchor_Ks = target_Ks[sel]
+
+            sampled_indices = split_dict["train_ids"] + split_dict["test_ids"]
+            all_imgs_path = [all_imgs_path[i] for i in sampled_indices]
+            c2ws = c2ws[sampled_indices]
+            Ks = Ks[sampled_indices]
+            input_indices = np.arange(num_inputs).tolist()
+            anchor_indices = np.linspace(
+                num_inputs, num_inputs + num_targets - 1, num_anchors
+            ).tolist()
+        else:
+            raise ValueError(f"Unknown task: {task}")
+
+    return (
+        all_imgs_path,
+        num_inputs,
+        num_targets,
+        input_indices,
+        anchor_indices,
+        np.asarray(c2ws)[:, :3].astype(np.float32),
+        np.asarray(Ks).astype(np.float32),
+        (np.asarray(anchor_c2ws)[:, :3].astype(np.float32) if anchor_c2ws is not None else None),
+        (np.asarray(anchor_Ks).astype(np.float32) if anchor_Ks is not None else None),
+    )
+
+
+def _default_options() -> EngineOptions:
+    """The demo's option defaults (reference demo.py:292-306)."""
+    return EngineOptions(
+        chunk_strategy="nearest-gt",
+        video_save_fps=30.0,
+        beta_linear_start=5e-6,
+        log_snr_shift=2.4,
+        guider_types=1,
+        cfg=2.0,
+        camera_scale=2.0,
+        num_steps=50,
+        cfg_min=1.2,
+        encoding_t=1,
+        decoding_t=1,
+        num_inputs=None,
+        seed=23,
+    )
+
+
+def _build_bundle(checkpoint_dir, random_model, use_pallas=True):
+    from stable_virtual_camera_tpu.models import io as mio
+
+    if random_model:
+        from stable_virtual_camera_tpu.config import SevaSpec
+
+        print("[cli] --random_model: tiny randomly initialized bundle (smoke mode)")
+        return mio.random_bundle(), True
+    if checkpoint_dir is None:
+        raise SystemExit(
+            "Provide --checkpoint_dir with converted weights "
+            "(model.safetensors / vae.safetensors / clip.safetensors) "
+            "or --random_model for a smoke run."
+        )
+    return mio.load_bundle(checkpoint_dir, use_pallas=use_pallas), False
+
+
+def main(
+    data_path,
+    data_items=None,
+    task="img2img",
+    save_subdir="",
+    H=None,
+    W=None,
+    T=None,
+    use_traj_prior=False,
+    checkpoint_dir=None,
+    random_model=False,
+    work_dir=WORK_DIR,
+    **overwrite_options,
+):
+    bundle, is_tiny = _build_bundle(checkpoint_dir, random_model)
+    version = VersionConfig()
+    if is_tiny:
+        version = VersionConfig(H=64, W=64, T=bundle.spec.num_frames)
+    if H is not None:
+        version.H = int(H)
+    if W is not None:
+        version.W = int(W)
+    if T is not None:
+        version.T = [int(t) for t in str(T).split(",")] if "," in str(T) else int(T)
+
+    options = _default_options()
+    options.update(overwrite_options)
+    num_inputs = options.get("num_inputs", None)
+    seed = int(options.get("seed", 23))
+
+    if data_items is not None:
+        if not isinstance(data_items, (list, tuple)):
+            data_items = str(data_items).split(",")
+        scenes = [osp.join(data_path, item) for item in data_items]
+    else:
+        scenes = sorted(globlib.glob(osp.join(data_path, "*")))
+
+    for scene in scenes:
+        save_path_scene = osp.join(
+            work_dir, task, save_subdir, osp.splitext(osp.basename(scene))[0]
+        )
+        if options.get("skip_saved", False) and osp.exists(
+            osp.join(save_path_scene, "transforms.json")
+        ):
+            print(f"Skipping {scene} as it is already sampled.")
+            continue
+
+        (
+            all_imgs_path,
+            n_inputs,
+            num_targets,
+            input_indices,
+            anchor_indices,
+            c2ws,
+            Ks,
+            anchor_c2ws,
+            anchor_Ks,
+        ) = parse_task(task, scene, num_inputs, version.T, version, options)
+        assert n_inputs is not None
+        image_cond = {
+            "img": all_imgs_path,
+            "input_indices": input_indices,
+            "prior_indices": anchor_indices,
+        }
+        camera_cond = {
+            "c2w": c2ws.copy(),
+            "K": [k for k in Ks.copy()],
+            "input_indices": list(range(n_inputs + num_targets)),
+        }
+        engine = SceneEngine(bundle, version, options)
+        for _ in engine.run_one_scene(
+            task,
+            image_cond,
+            camera_cond,
+            save_path=save_path_scene,
+            use_traj_prior=use_traj_prior,
+            traj_prior_Ks=anchor_Ks,
+            traj_prior_c2ws=anchor_c2ws,
+            seed=seed,
+        ):
+            pass
+
+        # OpenCV -> OpenGL for the exported transforms.json
+        # (reference demo.py:378-403)
+        c2ws_gl = np.concatenate(
+            [c2ws, np.repeat(np.array([[[0.0, 0, 0, 1]]]), len(c2ws), 0)], axis=1
+        ) @ np.diag([1.0, -1.0, -1.0, 1.0])
+        img_paths = sorted(
+            globlib.glob(osp.join(save_path_scene, "samples-rgb", "*.png"))
+        )
+        if len(img_paths) != len(c2ws_gl):
+            input_img_paths = sorted(
+                globlib.glob(osp.join(save_path_scene, "input", "*.png"))
+            )
+            assert len(img_paths) == num_targets
+            assert len(input_img_paths) == n_inputs
+            target_indices = [
+                i for i in range(len(c2ws_gl)) if i not in input_indices
+            ]
+            img_paths = [
+                input_img_paths[input_indices.index(i)]
+                if i in input_indices
+                else img_paths[target_indices.index(i)]
+                for i in range(len(c2ws_gl))
+            ]
+        create_transforms_simple(
+            save_path=save_path_scene,
+            img_paths=img_paths,
+            img_whs=np.array([version.W, version.H])[None].repeat(
+                n_inputs + num_targets, 0
+            ),
+            c2ws=c2ws_gl,
+            Ks=Ks,
+        )
+        print(f"[cli] scene done: {save_path_scene}")
+
+
+def _parse_argv(argv):
+    """fire-style flag parsing: --key value / --key=value, literals eval'd."""
+    import ast
+
+    kwargs = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        assert arg.startswith("--"), f"Unexpected positional arg {arg}"
+        if "=" in arg:
+            key, val = arg[2:].split("=", 1)
+            i += 1
+        else:
+            key = arg[2:]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                val = argv[i + 1]
+                i += 2
+            else:
+                val = "True"
+                i += 1
+        try:
+            kwargs[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            kwargs[key] = val
+    return kwargs
+
+
+if __name__ == "__main__":
+    main(**_parse_argv(sys.argv[1:]))

@@ -1,0 +1,41 @@
+"""Device mesh construction for multi-chip sampling.
+
+The reference is strictly single-GPU (SURVEY.md §2.8: no distributed backend
+at all); multi-chip scaling here is a new, TPU-native capability:
+
+  axes: ("data", "view")
+    * "view" shards the frame/view axis of a chunk across chips over ICI —
+      per-frame convs and per-frame attention stay local, the joint
+      (T*h*w)-token attention and per-location time-mix gather over ICI
+      (XLA GSPMD inserts the collectives),
+    * "data" fans independent chunks/scenes out (data parallel, DCN-safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = 1, n_view: int | None = None, devices=None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_view is None:
+        n_view = len(devices) // n_data
+    assert n_data * n_view <= len(devices), (
+        f"mesh {n_data}x{n_view} needs more than {len(devices)} devices"
+    )
+    grid = np.array(devices[: n_data * n_view]).reshape(n_data, n_view)
+    return Mesh(grid, ("data", "view"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def view_sharded(mesh: Mesh, rank: int = 4) -> NamedSharding:
+    """Shard leading (frame) axis over 'view'."""
+    return NamedSharding(mesh, P("view", *([None] * (rank - 1))))

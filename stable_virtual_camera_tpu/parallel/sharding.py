@@ -1,0 +1,79 @@
+"""View-axis sharded sampling step.
+
+Strategy ("pick a mesh, annotate shardings, let XLA insert collectives"):
+params replicated, every per-frame tensor sharded on axis 0 over 'view'.
+The UNet's per-frame convs and per-frame spatial attention then run fully
+locally; the joint multiview attention (reshape to (b, T*h*w, c)) and the
+time-mix (reshape to (b*s, T, c)) force XLA to all-gather the frame axis over
+ICI exactly where the reference's single-GPU model needed all-frame attention.
+
+This gives the large-T single-forward regime (T=80-96 semi-dense, reference
+docs/CLI_USAGE.md:80-81) headroom beyond one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stable_virtual_camera_tpu.sampling.sampler import (
+    ChunkConditioning,
+    euler_edm_sample,
+    euler_edm_step,
+)
+
+
+def _cond_shardings(mesh: Mesh) -> ChunkConditioning:
+    vs = lambda rank: NamedSharding(mesh, P("view", *([None] * (rank - 1))))  # noqa: E731
+    return ChunkConditioning(
+        crossattn=vs(3),
+        concat=vs(4),
+        dense=vs(4),
+        replace=vs(4),
+        scale=vs(1),
+    )
+
+
+def make_sharded_step(network_fn, mesh: Mesh, num_frames: int):
+    """Jitted single Euler step with view-axis shardings annotated.
+
+    Constraint: 2*num_frames and num_frames must be divisible by the 'view'
+    axis size (frames distribute evenly).
+    """
+    n_view = mesh.shape["view"]
+    assert num_frames % n_view == 0, (
+        f"num_frames={num_frames} must divide over view axis {n_view}"
+    )
+    x_sh = NamedSharding(mesh, P("view", None, None, None))
+    scalar = NamedSharding(mesh, P())
+    return jax.jit(
+        partial(euler_edm_step, network_fn, num_frames=num_frames),
+        in_shardings=(x_sh, (scalar,) * 5, _cond_shardings(mesh), scalar),
+        out_shardings=x_sh,
+    )
+
+
+def make_sharded_sampler(network_fn, mesh: Mesh, num_frames: int):
+    """Jitted full lax.scan sampling loop with view-axis shardings."""
+    n_view = mesh.shape["view"]
+    assert num_frames % n_view == 0
+    x_sh = NamedSharding(mesh, P("view", None, None, None))
+    scalar = NamedSharding(mesh, P())
+    plan_sh = {
+        k: scalar
+        for k in (
+            "sigma_hat_raw",
+            "sigma_hat_quant",
+            "t_indices",
+            "sigma_next",
+            "noise_coeff",
+            "init_scale",
+        )
+    }
+    return jax.jit(
+        partial(euler_edm_sample, network_fn, num_frames=num_frames),
+        in_shardings=(x_sh, plan_sh, _cond_shardings(mesh), scalar),
+        out_shardings=x_sh,
+    )

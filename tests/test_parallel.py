@@ -1,0 +1,102 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the
+view-sharded sampling step compiles, runs, and matches the unsharded result."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stable_virtual_camera_tpu.config import SevaSpec
+from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
+from stable_virtual_camera_tpu.parallel.mesh import make_mesh
+from stable_virtual_camera_tpu.parallel.sharding import (
+    make_sharded_sampler,
+    make_sharded_step,
+)
+from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+from stable_virtual_camera_tpu.sampling.sampler import (
+    ChunkConditioning,
+    euler_edm_sample,
+    make_sampling_plan,
+    plan_to_device,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+    spec = SevaSpec(
+        model_channels=32, num_frames=8, num_head_channels=16, context_dim=64
+    )
+    T, h, w = spec.num_frames, 16, 16
+    unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2 * T, h, w, spec.in_channels)),
+        jnp.zeros((2 * T,), jnp.int32),
+        jnp.zeros((2 * T, 1, spec.context_dim)),
+        jnp.zeros((2 * T, h, w, spec.dense_in_channels)),
+        num_frames=T,
+    )["params"]
+
+    def network_fn(x, concat, t_vec, crossattn, dense, num_frames):
+        return unet.apply(
+            {"params": params},
+            assemble_network_input(x, concat),
+            t_vec,
+            crossattn,
+            dense,
+            num_frames=num_frames,
+        )
+
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    cond = ChunkConditioning(
+        crossattn=jnp.asarray(rng.normal(size=(2 * T, 1, 64)).astype(np.float32)),
+        concat=jnp.asarray(rng.normal(size=(2 * T, h, w, 7)).astype(np.float32)),
+        dense=jnp.asarray(rng.normal(size=(2 * T, h, w, 6)).astype(np.float32)),
+        replace=jnp.asarray(
+            (rng.normal(size=(2 * T, h, w, 5)) * 0.1).astype(np.float32)
+        ),
+        scale=jnp.full((T,), 2.0, jnp.float32),
+    )
+    plan = make_sampling_plan(DDPMDiscretization(), 3, s_noise=0.0)
+    return spec, network_fn, noise, cond, plan
+
+
+def test_sharded_sampler_matches_unsharded(setup):
+    spec, network_fn, noise, cond, plan = setup
+    T = spec.num_frames
+    mesh = make_mesh(n_data=1, n_view=8)
+    key = jax.random.PRNGKey(0)
+
+    ref = euler_edm_sample(
+        network_fn, noise, plan_to_device(plan), cond, key, num_frames=T
+    )
+
+    with mesh:
+        sharded = make_sharded_sampler(network_fn, mesh, T)
+        out = sharded(noise, plan_to_device(plan), cond, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_sharded_step_runs_2d_mesh(setup):
+    spec, network_fn, noise, cond, plan = setup
+    T = spec.num_frames
+    mesh = make_mesh(n_data=2, n_view=4)
+    pa = plan_to_device(plan)
+    per_step = tuple(
+        pa[k][0]
+        for k in (
+            "sigma_hat_raw",
+            "sigma_hat_quant",
+            "t_indices",
+            "sigma_next",
+            "noise_coeff",
+        )
+    )
+    with mesh:
+        step = make_sharded_step(network_fn, mesh, T)
+        out = step(noise, per_step, cond, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out)).all()
