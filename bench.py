@@ -37,20 +37,15 @@ def main() -> None:
         plan_to_device,
     )
 
+    import os
+
     h, w = H // 8, W // 8
     spec = SevaSpec()  # the flagship 1.3B configuration
-    unet = SevaUNet(spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    use_pallas = os.environ.get("SVC_BENCH_PALLAS", "1") == "1"
+    unet = SevaUNet(
+        spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, use_pallas=use_pallas
+    )
     params = _synthetic_params(unet, T, h, w, spec, jnp, jax)
-
-    def network_fn(x, concat, t_vec, crossattn, dense, num_frames):
-        return unet.apply(
-            {"params": params},
-            assemble_network_input(x, concat),
-            t_vec,
-            crossattn,
-            dense,
-            num_frames=num_frames,
-        )
 
     plan = plan_to_device(make_sampling_plan(DDPMDiscretization(), STEPS))
     key = jax.random.PRNGKey(0)
@@ -63,16 +58,28 @@ def main() -> None:
         scale=jnp.full((T,), 2.0, jnp.float32),
     )
 
+    from functools import partial
+
+    def net_with_params(p, x, concat, t_vec, crossattn, dense, num_frames):
+        return unet.apply(
+            {"params": p},
+            assemble_network_input(x, concat),
+            t_vec,
+            crossattn,
+            dense,
+            num_frames=num_frames,
+        )
+
     sample = jax.jit(
-        lambda noise, plan, cond, key: euler_edm_sample(
-            network_fn, noise, plan, cond, key, num_frames=T
+        lambda p, noise, plan, cond, key: euler_edm_sample(
+            partial(net_with_params, p), noise, plan, cond, key, num_frames=T
         )
     )
     # warmup/compile
-    z = sample(noise, plan, cond, key)
+    z = sample(params, noise, plan, cond, key)
     z.block_until_ready()
     t0 = time.perf_counter()
-    z = sample(noise, plan, cond, key)
+    z = sample(params, noise, plan, cond, key)
     z.block_until_ready()
     t_denoise = time.perf_counter() - t0
 
@@ -96,13 +103,13 @@ def main() -> None:
 
     vae_params = jax.tree_util.tree_map_with_path(fill, dec_shapes)
     decode = jax.jit(
-        lambda z1: vae.apply({"params": vae_params}, z1, method=AutoEncoderKL.decode)
+        lambda p, z1: vae.apply({"params": p}, z1, method=AutoEncoderKL.decode)
     )
     z1 = z[:1]
-    decode(z1).block_until_ready()  # compile
+    decode(vae_params, z1).block_until_ready()  # compile
     t0 = time.perf_counter()
     for i in range(T):
-        out = decode(z[i : i + 1])
+        out = decode(vae_params, z[i : i + 1])
     out.block_until_ready()
     t_decode = time.perf_counter() - t0
 

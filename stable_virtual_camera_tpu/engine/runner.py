@@ -66,12 +66,11 @@ class VaeApplier:
     def __init__(self, module: AutoEncoderKL, params):
         self.module = module
         self.params = params
-        self._encode = jax.jit(
-            lambda x: module.apply({"params": params}, x, method=module.encode)
-        )
-        self._decode = jax.jit(
-            lambda z: module.apply({"params": params}, z, method=module.decode)
-        )
+        # params passed as jit args, not captured constants
+        enc = jax.jit(lambda p, x: module.apply({"params": p}, x, method=module.encode))
+        dec = jax.jit(lambda p, z: module.apply({"params": p}, z, method=module.decode))
+        self._encode = lambda x: enc(self.params, x)
+        self._decode = lambda z: dec(self.params, z)
 
     def _chunked(self, fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
         if x.shape[0] == 0:
@@ -101,11 +100,11 @@ class ClipApplier:
         self.params = params
         size = module.spec.image_size
         self._embed = jax.jit(
-            lambda x: module.apply({"params": params}, preprocess(x, size))
+            lambda p, x: module.apply({"params": p}, preprocess(x, size))
         )
 
     def embed(self, imgs: np.ndarray) -> np.ndarray:
-        return np.asarray(self._embed(jnp.asarray(imgs)))
+        return np.asarray(self._embed(self.params, jnp.asarray(imgs)))
 
 
 @dataclass

@@ -196,17 +196,22 @@ class UNetDenoiser:
         self.params = params
         self._jitted: dict[tuple, Callable] = {}
 
-    def network_fn(self, x, concat, t_vec, crossattn, dense, num_frames):
+    def network_with_params(self, params, x, concat, t_vec, crossattn, dense, num_frames):
         from stable_virtual_camera_tpu.models.unet import assemble_network_input
 
         net_in = assemble_network_input(x, concat)
         return self.unet.apply(
-            {"params": self.params},
+            {"params": params},
             net_in,
             t_vec,
             crossattn,
             dense,
             num_frames=num_frames,
+        )
+
+    def network_fn(self, x, concat, t_vec, crossattn, dense, num_frames):
+        return self.network_with_params(
+            self.params, x, concat, t_vec, crossattn, dense, num_frames
         )
 
     def sample(
@@ -227,20 +232,45 @@ class UNetDenoiser:
         Returns None if aborted.
         """
         T, h, w, _ = noise.shape
+        # NB: params flow in as a jit argument (never as captured constants —
+        # capturing a 1.3B tree as literals bloats compilation catastrophically).
         if progress_cb is None and abort_event is None:
             bucket = ("scan", T, h, w, plan.num_steps)
             if bucket not in self._jitted:
-                self._jitted[bucket] = jax.jit(
-                    partial(euler_edm_sample, self.network_fn, num_frames=T)
-                )
-            return self._jitted[bucket](noise, plan_to_device(plan), cond, key)
+
+                def run(params, noise, plan_arrays, cond, key, _T=T):
+                    return euler_edm_sample(
+                        partial(self.network_with_params, params),
+                        noise,
+                        plan_arrays,
+                        cond,
+                        key,
+                        num_frames=_T,
+                    )
+
+                self._jitted[bucket] = jax.jit(run)
+            return self._jitted[bucket](
+                self.params, noise, plan_to_device(plan), cond, key
+            )
 
         bucket = ("step", T, h, w)
         if bucket not in self._jitted:
-            self._jitted[bucket] = jax.jit(
-                partial(euler_edm_step, self.network_fn, num_frames=T)
-            )
-        step_fn = self._jitted[bucket]
+
+            def run_step(params, x, per_step, cond, key, _T=T):
+                return euler_edm_step(
+                    partial(self.network_with_params, params),
+                    x,
+                    per_step,
+                    cond,
+                    key,
+                    num_frames=_T,
+                )
+
+            self._jitted[bucket] = jax.jit(run_step)
+        _step_inner = self._jitted[bucket]
+        step_fn = lambda x, per_step, cond, key: _step_inner(  # noqa: E731
+            self.params, x, per_step, cond, key
+        )
         pa = plan_to_device(plan)
         x = noise * pa["init_scale"]
         for i in range(plan.num_steps):
