@@ -60,12 +60,21 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([x, reps], axis=0)
 
 
+def _maybe_offload(params, lowvram: bool):
+    """lowvram mode keeps weights in host RAM and streams them per call —
+    the TPU analogue of the reference's stage-wise load_model/unload_model
+    (seva/eval.py:325-341)."""
+    if lowvram:
+        return jax.device_get(params)
+    return params
+
+
 class VaeApplier:
     """Jitted, optionally view-chunked VAE encode/decode."""
 
-    def __init__(self, module: AutoEncoderKL, params):
+    def __init__(self, module: AutoEncoderKL, params, lowvram: bool = False):
         self.module = module
-        self.params = params
+        self.params = _maybe_offload(params, lowvram)
         # params passed as jit args (not captured constants); view-chunking
         # happens INSIDE the program via lax.map so a whole batch is one
         # device dispatch (dispatch latency is expensive; SURVEY.md §5.7's
@@ -109,9 +118,9 @@ class VaeApplier:
 class ClipApplier:
     """Jitted CLIP image embedding (preprocess fused into the program)."""
 
-    def __init__(self, module: ClipVisionTower, params):
+    def __init__(self, module: ClipVisionTower, params, lowvram: bool = False):
         self.module = module
-        self.params = params
+        self.params = _maybe_offload(params, lowvram)
         size = module.spec.image_size
         self._embed = jax.jit(
             lambda p, x: module.apply({"params": p}, preprocess(x, size))

@@ -34,16 +34,25 @@ def _install_reference_stubs():
     """Stub the reference's GUI/vision deps that are absent in this image so
     its numerical modules (geometry, sampling, eval planners) can be imported
     and run as test oracles."""
+    import importlib.machinery
+
+    def _mk_module(name: str) -> types.ModuleType:
+        mod = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+        # dependency probing) doesn't choke on the stub
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return mod
+
     if "gradio" not in sys.modules:
-        gradio = types.ModuleType("gradio")
+        gradio = _mk_module("gradio")
         gradio.Progress = object
         sys.modules["gradio"] = gradio
     if "torchvision" not in sys.modules:
         import torch
 
-        torchvision = types.ModuleType("torchvision")
-        transforms = types.ModuleType("torchvision.transforms")
-        functional = types.ModuleType("torchvision.transforms.functional")
+        torchvision = _mk_module("torchvision")
+        transforms = _mk_module("torchvision.transforms")
+        functional = _mk_module("torchvision.transforms.functional")
 
         def _crop(img, top, left, height, width):
             return img[..., top : top + height, left : left + width]
@@ -64,7 +73,7 @@ def _install_reference_stubs():
     if "roma" not in sys.modules:
         import torch
 
-        roma = types.ModuleType("roma")
+        roma = _mk_module("roma")
 
         def rotvec_to_rotmat(rotvec: "torch.Tensor") -> "torch.Tensor":
             from stable_virtual_camera_tpu.core.trajectories import (
