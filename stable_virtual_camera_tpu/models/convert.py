@@ -32,11 +32,26 @@ _KIND_LEAVES = {
 
 
 def _attention_entries(tp: str, fp: tuple[str, ...]):
-    for attn in ("attn1", "attn2"):
-        yield (f"{tp}.{attn}.to_q", fp + (attn, "to_q"), "linear_nobias")
-        yield (f"{tp}.{attn}.to_k", fp + (attn, "to_k"), "linear_nobias")
-        yield (f"{tp}.{attn}.to_v", fp + (attn, "to_v"), "linear_nobias")
-        yield (f"{tp}.{attn}.to_out.0", fp + (attn, "to_out"), "linear")
+    # attn1 is self-attention -> fused qkv (see models/unet.py Attention);
+    # the fused torch key is synthesized by `_fuse_self_attention_qkv`.
+    yield (f"{tp}.attn1.qkv", fp + ("attn1", "qkv"), "linear_nobias")
+    yield (f"{tp}.attn1.to_out.0", fp + ("attn1", "to_out"), "linear")
+    yield (f"{tp}.attn2.to_q", fp + ("attn2", "to_q"), "linear_nobias")
+    yield (f"{tp}.attn2.to_k", fp + ("attn2", "to_k"), "linear_nobias")
+    yield (f"{tp}.attn2.to_v", fp + ("attn2", "to_v"), "linear_nobias")
+    yield (f"{tp}.attn2.to_out.0", fp + ("attn2", "to_out"), "linear")
+
+
+def _fuse_self_attention_qkv(sd: dict) -> dict:
+    """Concat every `*.attn1.to_{q,k,v}.weight` triple into `*.attn1.qkv.weight`
+    ((3*out, in) torch layout, order q|k|v)."""
+    out = dict(sd)
+    for key in list(sd):
+        if key.endswith(".attn1.to_q.weight"):
+            base = key[: -len("to_q.weight")]
+            q, k, v = (out.pop(f"{base}to_{n}.weight") for n in ("q", "k", "v"))
+            out[f"{base}qkv.weight"] = np.concatenate([q, k, v], axis=0)
+    return out
 
 
 def _ff_entries(tp: str, fp: tuple[str, ...], ff_name: str):
@@ -182,6 +197,7 @@ def convert_seva_state_dict(
         k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in state_dict.items()
     }
+    sd = _fuse_self_attention_qkv(sd)
     params: dict = {}
     used = set()
     for torch_prefix, flax_path, kind in seva_key_map(spec):

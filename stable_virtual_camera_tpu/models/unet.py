@@ -105,7 +105,6 @@ class Attention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
-        context = x if context is None else context
         dense = lambda n, name, bias: nn.Dense(  # noqa: E731
             n,
             use_bias=bias,
@@ -113,9 +112,16 @@ class Attention(nn.Module):
             param_dtype=self.param_dtype,
             name=name,
         )
-        q = dense(inner, "to_q", False)(x)
-        k = dense(inner, "to_k", False)(context)
-        v = dense(inner, "to_v", False)(context)
+        if context is None:
+            # Self-attention: fused qkv projection. Narrow-N matmuls are the
+            # measured bottleneck on v5e (N=320 runs at 13 TF/s vs 82 TF/s at
+            # N=2560, docs/ARCHITECTURE.md); fusing triples N for free.
+            qkv = dense(3 * inner, "qkv", False)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(inner, "to_q", False)(x)
+            k = dense(inner, "to_k", False)(context)
+            v = dense(inner, "to_v", False)(context)
         B, L, _ = q.shape
         S = k.shape[1]
         q = q.reshape(B, L, self.heads, self.dim_head)
