@@ -141,8 +141,9 @@ def load_bundle(
     param_dtype=jnp.bfloat16,
     use_pallas: bool = True,
 ):
-    """Load a full pretrained bundle from a directory with
-    model.safetensors (UNet), vae.safetensors, clip.safetensors."""
+    """Load a full pretrained bundle from a directory holding either the
+    three torch safetensors checkpoints (model/vae/clip) or a converted
+    orbax cache written by apps/convert_weights.py."""
     from stable_virtual_camera_tpu.engine.runner import (
         ClipApplier,
         ModelBundle,
@@ -154,15 +155,21 @@ def load_bundle(
     unet = SevaUNet(spec, dtype=dtype, param_dtype=param_dtype, use_pallas=use_pallas)
     vae = AutoEncoderKL(dtype=dtype, param_dtype=param_dtype)
     clip = ClipVisionTower(clip_spec, dtype=dtype, param_dtype=param_dtype)
-    unet_params = load_seva_params(
-        os.path.join(checkpoint_dir, "model.safetensors"), spec, param_dtype
-    )
-    vae_params = load_vae_params(
-        os.path.join(checkpoint_dir, "vae.safetensors"), param_dtype
-    )
-    clip_params = load_clip_params(
-        os.path.join(checkpoint_dir, "clip.safetensors"), clip_spec, param_dtype
-    )
+    if os.path.exists(os.path.join(checkpoint_dir, "_CHECKPOINT_METADATA")):
+        converted = load_converted(checkpoint_dir)
+        unet_params = _cast_tree(converted["unet"], param_dtype)
+        vae_params = _cast_tree(converted["vae"], param_dtype)
+        clip_params = _cast_tree(converted["clip"], param_dtype)
+    else:
+        unet_params = load_seva_params(
+            os.path.join(checkpoint_dir, "model.safetensors"), spec, param_dtype
+        )
+        vae_params = load_vae_params(
+            os.path.join(checkpoint_dir, "vae.safetensors"), param_dtype
+        )
+        clip_params = load_clip_params(
+            os.path.join(checkpoint_dir, "clip.safetensors"), clip_spec, param_dtype
+        )
     return ModelBundle(
         spec=spec,
         denoiser=UNetDenoiser(unet, unet_params),
@@ -170,3 +177,28 @@ def load_bundle(
         clip=ClipApplier(clip, clip_params),
         discretization=DDPMDiscretization(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Converted-checkpoint caching (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_converted(params_by_model: dict, out_dir: str) -> None:
+    """Persist converted flax param trees ({'unet': ..., 'vae': ..., 'clip':
+    ...}) as an orbax checkpoint, so torch->jax conversion runs once
+    (the TPU-side analogue of the reference's HF-hub weight cache,
+    seva/utils.py:29-48)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(out_dir)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, params_by_model)
+
+
+def load_converted(out_dir: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(out_dir)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
