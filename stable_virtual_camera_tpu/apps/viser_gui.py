@@ -208,3 +208,47 @@ def define_gui(
         gui_state.camera_traj_list = core.get_camera_traj_list(img_wh)
 
     return gui_state, core
+
+
+def visualize_scene(
+    server,
+    input_imgs: np.ndarray,  # (N, H, W, 3) in [0, 1]
+    input_Ks: np.ndarray,  # (N, 3, 3) normalized
+    input_c2ws: np.ndarray,  # (N, 4, 4)
+    points: list[np.ndarray],
+    point_colors: list[np.ndarray],
+    scene_scale: float = 1.0,
+    scene_node_prefix: str = "/scene_assets",
+):
+    """Input-camera frustums (with image thumbnails) + per-view point clouds
+    (reference demo_gr.py:247-355 `visualize_scene`)."""
+    from stable_virtual_camera_tpu.core.kb_splines import quat_from_matrix
+
+    server.scene.reset()
+    handles = []
+    for i, (img, K, c2w) in enumerate(zip(input_imgs, input_Ks, input_c2ws)):
+        H, W = img.shape[:2]
+        fov = 2.0 * np.arctan(0.5 / K[1, 1])
+        handles.append(
+            server.scene.add_camera_frustum(
+                f"{scene_node_prefix}/cameras/{i}",
+                fov=float(fov),
+                aspect=W / H,
+                scale=0.1 * scene_scale,
+                image=(np.asarray(img) * 255).astype(np.uint8),
+                wxyz=quat_from_matrix(c2w[:3, :3]),
+                position=c2w[:3, 3],
+            )
+        )
+    for i, (pts, cols) in enumerate(zip(points, point_colors)):
+        if len(pts) == 0:
+            continue
+        handles.append(
+            server.scene.add_point_cloud(
+                f"{scene_node_prefix}/points/{i}",
+                points=np.asarray(pts),
+                colors=np.asarray(cols),
+                point_size=0.01 * scene_scale,
+            )
+        )
+    return handles
