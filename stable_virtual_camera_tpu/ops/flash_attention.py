@@ -56,9 +56,8 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # (Q_BLOCK, D)
-    k = k_ref[0].astype(jnp.float32)  # (K_BLOCK, D)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # (q_block, D) — MXU contracts bf16 directly, fp32 accum
+    k = k_ref[0]
 
     s = (
         jax.lax.dot_general(
@@ -77,8 +76,12 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     corr = jnp.exp(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    # bf16 probabilities for the PV matmul: measured ~2x on v5e (the MXU runs
+    # the p@v contraction at twice the rate), error indistinguishable from the
+    # bf16 output rounding
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)

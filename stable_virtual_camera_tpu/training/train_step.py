@@ -1,0 +1,189 @@
+"""Diffusion fine-tuning for the multiview UNet.
+
+The reference is inference-only (SURVEY.md §1: no training code); this module
+adds the natural training capability for the same model family: discrete-
+timestep epsilon-prediction MSE under the model's own DDPM discretization
+(sqrt-linear betas, log-SNR-shifted sigmas, EpsScaling preconditioning — the
+exact quantities the sampler uses at inference), with optax optimizers and a
+single jitted, multi-chip-shardable train step.
+
+Parameterization: with c_skip=1, c_out=-sigma, c_in=1/sqrt(sigma^2+1)
+(seva/sampling.py:46-54), the network predicts epsilon; the loss is
+||net(x_sigma * c_in, t, cond) - eps||^2 averaged over frames/pixels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+
+
+@dataclass
+class TrainBatch:
+    """One chunk-shaped training example (frame axis = T views).
+
+    latents:   (T, h, w, 4)  clean VAE latents of all views
+    concat:    (T, h, w, 7)  input-mask ++ Plücker conditioning
+    crossattn: (T, 1, ctx)   CLIP embedding
+    dense:     (T, h, w, 6)  Plücker FiLM map
+    loss_mask: (T,)          1.0 for frames that contribute to the loss
+                             (input views are replace-conditioned at inference
+                             and typically excluded)
+    """
+
+    latents: Any
+    concat: Any
+    crossattn: Any
+    dense: Any
+    loss_mask: Any
+
+
+jax.tree_util.register_pytree_node(
+    TrainBatch,
+    lambda b: ((b.latents, b.concat, b.crossattn, b.dense, b.loss_mask), None),
+    lambda _, xs: TrainBatch(*xs),
+)
+
+
+def diffusion_loss(
+    params,
+    batch: TrainBatch,
+    key: jax.Array,
+    *,
+    network_fn: Callable,
+    registered_sigmas: jnp.ndarray,  # (1000,) ascending
+    num_frames: int,
+) -> jnp.ndarray:
+    """Epsilon-prediction MSE at a shared random discrete timestep.
+
+    One timestep per chunk (all frames share the noise level, exactly as the
+    sampler denoises all T frames at one sigma per step)."""
+    t_key, eps_key = jax.random.split(key)
+    t_idx = jax.random.randint(t_key, (), 0, registered_sigmas.shape[0])
+    sigma = registered_sigmas[t_idx]
+
+    x0 = batch.latents
+    eps = jax.random.normal(eps_key, x0.shape, x0.dtype)
+    x_sigma = x0 + sigma * eps
+    c_in = jax.lax.rsqrt(sigma**2 + 1.0)
+
+    t_vec = jnp.full((num_frames,), t_idx, jnp.int32)
+    pred_eps = network_fn(
+        params, x_sigma * c_in, batch.concat, t_vec, batch.crossattn, batch.dense,
+        num_frames,
+    ).astype(jnp.float32)
+
+    per_frame = jnp.mean((pred_eps - eps.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
+    mask = batch.loss_mask.astype(jnp.float32)
+    return jnp.sum(per_frame * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_network_fn(unet):
+    """params-first network callable matching the sampler's convention."""
+
+    from stable_virtual_camera_tpu.models.unet import assemble_network_input
+
+    def network_fn(params, x, concat, t_vec, crossattn, dense, num_frames):
+        return unet.apply(
+            {"params": params},
+            assemble_network_input(x, concat),
+            t_vec,
+            crossattn,
+            dense,
+            num_frames=num_frames,
+        )
+
+    return network_fn
+
+
+def make_train_step(
+    unet,
+    optimizer: optax.GradientTransformation,
+    num_frames: int,
+    discretization: DDPMDiscretization | None = None,
+):
+    """Returns jitted `step(params, opt_state, batch, key) ->
+    (params, opt_state, loss)` with params/opt_state donated."""
+    discretization = discretization or DDPMDiscretization()
+    registered = jnp.asarray(discretization.registered_sigmas())
+    network_fn = make_network_fn(unet)
+
+    loss_fn = partial(
+        diffusion_loss,
+        network_fn=network_fn,
+        registered_sigmas=registered,
+        num_frames=num_frames,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch: TrainBatch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_train_step(
+    unet,
+    optimizer: optax.GradientTransformation,
+    num_frames: int,
+    mesh,
+    discretization: DDPMDiscretization | None = None,
+):
+    """Training step jitted over a ("data","view") mesh: the frame axis of the
+    batch shards over 'view' (same layout as sharded sampling), params and
+    optimizer state replicated; GSPMD inserts the gradient all-reduces."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    discretization = discretization or DDPMDiscretization()
+    registered = jnp.asarray(discretization.registered_sigmas())
+    network_fn = make_network_fn(unet)
+    loss_fn = partial(
+        diffusion_loss,
+        network_fn=network_fn,
+        registered_sigmas=registered,
+        num_frames=num_frames,
+    )
+
+    repl = NamedSharding(mesh, P())
+    vs = lambda rank: NamedSharding(mesh, P("view", *([None] * (rank - 1))))  # noqa: E731
+    batch_sh = TrainBatch(
+        latents=vs(4), concat=vs(4), crossattn=vs(3), dense=vs(4), loss_mask=vs(1)
+    )
+
+    def _step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        _step,
+        in_shardings=(None, None, batch_sh, repl),
+        out_shardings=(None, None, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def synthetic_batch(spec, T: int, h: int, w: int, key) -> TrainBatch:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mask = np.zeros((T,), np.float32)
+    mask[1:] = 1.0  # frame 0 as "input view"
+    concat = jax.random.normal(k2, (T, h, w, 7)) * 0.1
+    return TrainBatch(
+        latents=jax.random.normal(k1, (T, h, w, 4)),
+        concat=concat,
+        crossattn=jax.random.normal(k3, (T, 1, spec.context_dim)) * 0.1,
+        dense=concat[..., 1:],
+        loss_mask=jnp.asarray(mask),
+    )

@@ -1,0 +1,81 @@
+"""Training-step tests: loss decreases on a fixed batch; the view-sharded
+step matches the unsharded one on the virtual 8-device mesh."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stable_virtual_camera_tpu.config import SevaSpec
+from stable_virtual_camera_tpu.models.unet import SevaUNet
+from stable_virtual_camera_tpu.parallel.mesh import make_mesh
+from stable_virtual_camera_tpu.training.train_step import (
+    make_sharded_train_step,
+    make_train_step,
+    synthetic_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = SevaSpec(
+        model_channels=32, num_frames=8, num_head_channels=16, context_dim=64
+    )
+    T, h, w = spec.num_frames, 16, 16
+    unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+    params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((T, h, w, spec.in_channels)),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 1, spec.context_dim)),
+        jnp.zeros((T, h, w, spec.dense_in_channels)),
+        num_frames=T,
+    )["params"]
+    batch = synthetic_batch(spec, T, h, w, jax.random.PRNGKey(1))
+    return spec, unet, params, batch
+
+
+@pytest.mark.slow
+def test_loss_decreases(setup):
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    step = make_train_step(unet, opt, T)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(2)
+    # fixed timestep key so every step optimizes the same objective sample
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_unsharded(setup):
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    key = jax.random.PRNGKey(3)
+
+    step = make_train_step(unet, opt, T)
+    p1, s1, loss1 = step(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, key
+    )
+
+    mesh = make_mesh(n_data=1, n_view=8)
+    with mesh:
+        sharded = make_sharded_train_step(unet, opt, T, mesh)
+        p2, s2, loss2 = sharded(
+            jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, key
+        )
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(l1, l2):
+        # cross-device reduction order perturbs grads at fp32 epsilon; Adam's
+        # normalization amplifies that, so compare with a modest tolerance
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
