@@ -97,6 +97,27 @@ def assemble(
     return assembled
 
 
+def _print_schedule(chunks: list[list[str]]) -> None:
+    """Colorized schedule printout: red = input slots, green = target slots
+    (reference seva/eval.py:833-844)."""
+    try:
+        from colorama import Fore, Style
+
+        def colorize(item: str) -> str:
+            if item.startswith("!"):
+                return f"{Fore.RED}{item}{Style.RESET_ALL}"
+            if item.startswith(">"):
+                return f"{Fore.GREEN}{item}{Style.RESET_ALL}"
+            return item
+    except ImportError:  # pragma: no cover
+        def colorize(item: str) -> str:
+            return item
+
+    print("\nchunks:")
+    for chunk in chunks:
+        print(", ".join(colorize(item) for item in chunk))
+
+
 @dataclass
 class ChunkPlan:
     """A full chunk schedule: symbolic chunks plus per-chunk index lists."""
@@ -172,9 +193,7 @@ def chunk_input_and_test(
         )
 
     if verbose if verbose is not None else options.get("sampler_verbose", True):
-        print("\nchunks:")
-        for chunk in chunks:
-            print(", ".join(chunk))
+        _print_schedule(chunks)
 
     return ChunkPlan(
         chunks,

@@ -43,6 +43,8 @@ def test_loss_decreases(setup):
     T = spec.num_frames
     opt = optax.adamw(1e-3)
     step = make_train_step(unet, opt, T)
+    # the step donates params; keep the module-scoped fixture's tree intact
+    params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(2)
     # fixed timestep key so every step optimizes the same objective sample
