@@ -100,3 +100,24 @@ def test_sharded_step_runs_2d_mesh(setup):
         step = make_sharded_step(network_fn, mesh, T)
         out = step(noise, per_step, cond, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ring_attention_matches_full():
+    """Ring attention over the 8-device mesh == plain full attention."""
+    from stable_virtual_camera_tpu.ops.attention import attention_xla
+    from stable_virtual_camera_tpu.parallel.ring_attention import (
+        make_ring_self_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 512, 4, 64  # L shards over 8 devices -> 64 local tokens
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+
+    ref = attention_xla(q, k, v)
+    mesh = make_mesh(n_data=1, n_view=8)
+    with mesh:
+        attn = make_ring_self_attention(mesh)
+        out = attn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
