@@ -100,7 +100,12 @@ class VaeApplier:
         if x.shape[0] == 0:
             return np.zeros((0,), np.float32)
         if not chunk_size or chunk_size >= x.shape[0]:
-            return np.asarray(fn(jnp.asarray(x)))
+            # bucket the batch to the next power of two: chunks carry varying
+            # numbers of input views and every new shape is a fresh (slow)
+            # compile — padding trades a little compute for compile reuse
+            n = x.shape[0]
+            bucket = 1 << (n - 1).bit_length()
+            return np.asarray(fn(jnp.asarray(_pad_to(x, bucket))))[:n]
         n = x.shape[0]
         n_chunks = -(-n // chunk_size)
         padded = _pad_to(x, n_chunks * chunk_size)
@@ -127,7 +132,10 @@ class ClipApplier:
         )
 
     def embed(self, imgs: np.ndarray) -> np.ndarray:
-        return np.asarray(self._embed(self.params, jnp.asarray(imgs)))
+        n = imgs.shape[0]
+        bucket = 1 << (n - 1).bit_length()  # shape-bucketed: see VaeApplier
+        out = np.asarray(self._embed(self.params, jnp.asarray(_pad_to(imgs, bucket))))
+        return out[:n]
 
 
 @dataclass

@@ -121,3 +121,39 @@ def test_determinism(bundle, tmp_path):
     c = read_video(osp.join(p3, "samples-rgb.mp4"))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a.astype(int) - c.astype(int)).mean() > 0.5  # seed changes output
+
+
+def test_two_pass_with_T_pair(bundle, tmp_path):
+    """First/second pass with different context windows (T list), as the
+    semi-dense regime produces (reference seva/eval.py:387,420)."""
+    rng = np.random.default_rng(3)
+    prior_c2ws = random_c2ws(rng, 3).astype(np.float32)[:, :3]
+    options = _options(
+        chunk_strategy="nearest", chunk_strategy_first_pass="gt",
+        guider_types=[1, 2], cfg=[2.0, 2.0],
+    )
+    rng2 = np.random.default_rng(7)
+    imgs, c2ws, Ks = _scene(rng2)
+    from stable_virtual_camera_tpu.config import VersionConfig
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+
+    engine = SceneEngine(bundle, VersionConfig(H=64, W=64, T=[4, 3]), options)
+    image_cond = {
+        "img": [im for im in imgs],
+        "input_indices": [0],
+        "prior_indices": [1.2, 2.5, 4.0],
+    }
+    camera_cond = {
+        "c2w": c2ws,
+        "K": [k for k in Ks],
+        "input_indices": list(range(len(imgs))),
+    }
+    save_path = osp.join(str(tmp_path), "tpair")
+    paths = list(
+        engine.run_one_scene(
+            "img2trajvid", image_cond, camera_cond, save_path=save_path,
+            use_traj_prior=True, traj_prior_Ks=None, traj_prior_c2ws=prior_c2ws,
+            seed=1,
+        )
+    )
+    assert osp.exists(paths[-1])
