@@ -34,10 +34,11 @@ _KIND_LEAVES = {
 def _attention_entries(tp: str, fp: tuple[str, ...]):
     # attn1 is self-attention -> fused qkv (see models/unet.py Attention);
     # the fused torch key is synthesized by `_fuse_self_attention_qkv`.
+    # attn2 is cross-attention over a SINGLE CLIP token: its output is exactly
+    # to_out(to_v(context)) (softmax over one key == 1), so to_q/to_k weights
+    # are dead parameters — dropped here, marked consumed in the converter.
     yield (f"{tp}.attn1.qkv", fp + ("attn1", "qkv"), "linear_nobias")
     yield (f"{tp}.attn1.to_out.0", fp + ("attn1", "to_out"), "linear")
-    yield (f"{tp}.attn2.to_q", fp + ("attn2", "to_q"), "linear_nobias")
-    yield (f"{tp}.attn2.to_k", fp + ("attn2", "to_k"), "linear_nobias")
     yield (f"{tp}.attn2.to_v", fp + ("attn2", "to_v"), "linear_nobias")
     yield (f"{tp}.attn2.to_out.0", fp + ("attn2", "to_out"), "linear")
 
@@ -212,6 +213,12 @@ def convert_seva_state_dict(
             used.add(key)
     if strict:
         unused = set(sd) - used
+        # cross-attention q/k weights are dead math for this model (single
+        # context token) — intentionally not converted
+        unused = {
+            k for k in unused
+            if not (k.endswith(".attn2.to_q.weight") or k.endswith(".attn2.to_k.weight"))
+        }
         if unused:
             raise KeyError(f"{len(unused)} unconverted torch keys, e.g. {sorted(unused)[:5]}")
     return params

@@ -112,10 +112,17 @@ class Attention(nn.Module):
             param_dtype=self.param_dtype,
             name=name,
         )
+        if context is not None and context.shape[1] == 1:
+            # Cross-attention over a SINGLE context token (this model's only
+            # cross-attention shape: one pooled CLIP embedding per frame,
+            # reference seva/eval.py:1248). softmax over one key is exactly 1,
+            # so the output is to_out(to_v(context)) independent of q — the
+            # q/k projections and the whole score pipeline are dead math.
+            v = dense(inner, "to_v", False)(context)  # (B, 1, inner)
+            out = dense(query_dim, "to_out", True)(v)
+            return jnp.broadcast_to(out, x.shape[:-1] + (query_dim,))
         if context is None:
-            # Self-attention: fused qkv projection. Narrow-N matmuls are the
-            # measured bottleneck on v5e (N=320 runs at 13 TF/s vs 82 TF/s at
-            # N=2560, docs/ARCHITECTURE.md); fusing triples N for free.
+            # Self-attention: fused qkv projection (wider-N matmuls).
             qkv = dense(3 * inner, "qkv", False)(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
