@@ -202,6 +202,12 @@ class TransformerBlockTimeMix(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_context, num_frames: int):
+        """`time_context` is the per-frame-group CLIP token, (b, 1, ctx) —
+        NOT tiled per spatial location. Since single-token cross-attention is
+        exactly to_out(to_v(context)) (see Attention), we compute it once per
+        group and broadcast over the (b*S) rows, instead of the reference's
+        h*w-times-repeated context (seva/modules/transformer.py:222-226) —
+        identical math, h*w-fold fewer projection rows."""
         B, S, C = x.shape
         b = B // num_frames
         inner = self.heads * self.dim_head
@@ -221,7 +227,16 @@ class TransformerBlockTimeMix(nn.Module):
         x = x.reshape(b, num_frames, S, C).transpose(0, 2, 1, 3).reshape(b * S, num_frames, C)
         x = ff("ff_in", inner)(ln("norm_in")(x)) + x
         x = Attention(**kw, name="attn1")(ln("norm1")(x)) + x
-        x = Attention(**kw, name="attn2")(ln("norm2")(x), time_context) + x
+        # cross-attention: evaluate on one row per group, broadcast to (b*S, T).
+        # norm2 params are created (checkpoint parity) but its output is
+        # unused — a single-token cross-attn output doesn't depend on x.
+        ln("norm2")(jnp.zeros((1, 1, inner), x.dtype))
+        cross = Attention(**kw, name="attn2")(
+            jnp.zeros((b, 1, inner), x.dtype), time_context
+        )  # (b, 1, C)
+        x = x + jnp.broadcast_to(
+            cross[:, None], (b, S, 1, C)
+        ).reshape(b * S, 1, C)
         x = ff("ff", C)(ln("norm3")(x))  # no residual (reference line 153)
         x = x.reshape(b, S, num_frames, C).transpose(0, 2, 1, 3).reshape(B, S, C)
         return x
@@ -250,8 +265,11 @@ class MultiviewTransformer(nn.Module):
         inner = self.heads * self.dim_head
         x_in = x
 
-        # CLIP context of frame 0, one row per spatial location (time-mix kv)
-        time_context = jnp.repeat(context[::num_frames], h * w, axis=0)
+        # CLIP context of frame 0 per group; the reference tiles it per
+        # spatial location (transformer.py:222-226) but the time-mix consumes
+        # it through the exact single-token shortcut, so one row per group
+        # suffices (see TransformerBlockTimeMix)
+        time_context = context[::num_frames]
         ctx = context[::num_frames] if self.unflatten else context
 
         y = GroupNorm32(param_dtype=self.param_dtype, eps=1e-6, name="norm")(x)
