@@ -157,3 +157,70 @@ def test_two_pass_with_T_pair(bundle, tmp_path):
         )
     )
     assert osp.exists(paths[-1])
+
+
+def test_two_pass_interp_strategy(bundle, tmp_path):
+    """Second pass with the `interp` chunk strategy (ordered targets
+    bracketed between anchors)."""
+    rng = np.random.default_rng(11)
+    imgs, c2ws, Ks = _scene(rng, n=7)  # 1 input + 6 ordered targets
+    # T=3 allows one target per anchor gap: anchors between every target
+    prior_c2ws = c2ws[[2, 3, 4, 5, 6]]
+    options = _options(
+        chunk_strategy="interp", chunk_strategy_first_pass="gt",
+        guider_types=[1, 2], cfg=[2.0, 2.0],
+    )
+    from stable_virtual_camera_tpu.config import VersionConfig
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+
+    engine = SceneEngine(bundle, VersionConfig(H=64, W=64, T=3), options)
+    image_cond = {
+        "img": [im for im in imgs],
+        "input_indices": [0],
+        "prior_indices": [1.5, 2.5, 3.5, 4.5, 5.5],
+    }
+    camera_cond = {
+        "c2w": c2ws,
+        "K": [k for k in Ks],
+        "input_indices": list(range(len(imgs))),
+    }
+    save_path = osp.join(str(tmp_path), "interp")
+    paths = list(
+        engine.run_one_scene(
+            "img2trajvid", image_cond, camera_cond, save_path=save_path,
+            use_traj_prior=True, traj_prior_Ks=None,
+            traj_prior_c2ws=prior_c2ws, seed=2,
+        )
+    )
+    assert osp.exists(paths[-1])
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    frames = read_video(osp.join(save_path, "samples-rgb.mp4"))
+    assert frames.shape[0] == 6
+
+
+def test_l_short_resizing(bundle, tmp_path):
+    """L_short keeps aspect ratio; H/W are rewritten in the version config
+    (reference seva/eval.py:1375-1398)."""
+    from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img_path = tmp_path / "in.png"
+    Image.fromarray(
+        rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+    ).save(img_path)
+
+    options = EngineOptions().update(dict(L_short=64, sampler_verbose=False))
+    version = VersionConfig(H=64, W=64, T=3, f=8)
+    engine = SceneEngine(bundle, version, options)
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1.0]], np.float32)
+    image_cond = {"img": [str(img_path)], "input_indices": [0],
+                  "prior_indices": None}
+    camera_cond = {"c2w": np.eye(4, dtype=np.float32)[None, :3],
+                   "K": [K], "input_indices": [0]}
+    engine._prepare_images(image_cond, camera_cond)
+    # 96x128 with shorter side -> 64 (stride 64): W = 128*64/96=85 -> snaps 64
+    assert version.H == 64
+    assert version.W % 64 == 0
