@@ -79,6 +79,14 @@ def build_app(bundle, advanced: bool = True):
         abort_event = abort_events.get(session_hash)
         if abort_event is not None:
             abort_event.clear()
+        pbar = None
+        if progress is not None:
+            steps_done = [0]
+
+            def pbar(i, total):  # per-sigma-step progress (stepwise sampler)
+                steps_done[0] += 1
+                progress(steps_done[0] % max(total, 1) / max(total, 1))
+
         gen = renderer.render(
             preprocessed,
             seed=int(seed),
@@ -89,6 +97,8 @@ def build_app(bundle, advanced: bool = True):
             zoom_factor=zoom_factor,
             camera_scale=float(camera_scale),
             abort_event=abort_event,
+            first_pass_pbar=pbar,
+            second_pass_pbar=pbar,
         )
         videos = list(gen)
         first = videos[0] if len(videos) > 1 else None
