@@ -28,7 +28,7 @@ def main() -> None:
     from __graft_entry__ import _synthetic_params
     from stable_virtual_camera_tpu.config import SevaSpec
     from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
-    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL, VaeDecoder
+    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
     from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
     from stable_virtual_camera_tpu.sampling.sampler import (
         ChunkConditioning,

@@ -222,8 +222,6 @@ def _build_bundle(checkpoint_dir, random_model, use_pallas=True):
     from stable_virtual_camera_tpu.models import io as mio
 
     if random_model:
-        from stable_virtual_camera_tpu.config import SevaSpec
-
         print("[cli] --random_model: tiny randomly initialized bundle (smoke mode)")
         return mio.random_bundle(), True
     if checkpoint_dir is None:

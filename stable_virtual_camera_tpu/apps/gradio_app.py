@@ -12,7 +12,6 @@ Run: python -m stable_virtual_camera_tpu.apps.gradio_app --checkpoint_dir ...
 
 from __future__ import annotations
 
-import os.path as osp
 import threading
 
 import numpy as np

@@ -2,7 +2,6 @@
 export tool roundtrip."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -12,7 +12,6 @@ from stable_virtual_camera_tpu.core.kb_splines import (
     KochanekBartels,
     KochanekBartelsQuaternion,
     quat_from_matrix,
-    quat_normalize,
     quat_to_matrix,
 )
 from stable_virtual_camera_tpu.core.trajectories import rotvec_to_rotmat

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
 from stable_virtual_camera_tpu.models.convert import convert_seva_state_dict
-from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
+from stable_virtual_camera_tpu.models.unet import SevaUNet
 
 
 @pytest.fixture(scope="module")
