@@ -83,11 +83,13 @@ def main() -> None:
     # warmup/compile
     z = sample(params, noise, plan, cond, key)
     sync(z)
-    key2 = jax.random.PRNGKey(1)  # distinct inputs defeat relay result-caching
-    t0 = time.perf_counter()
-    z = sample(params, noise, plan, cond, key2)
-    sync(z)
-    t_denoise = time.perf_counter() - t0
+    # distinct inputs defeat relay result-caching; min-of-N rejects relay jitter
+    t_denoise = float("inf")
+    for i in (1, 2):
+        t0 = time.perf_counter()
+        z = sample(params, noise, plan, cond, jax.random.PRNGKey(i))
+        sync(z)
+        t_denoise = min(t_denoise, time.perf_counter() - t0)
 
     # VAE decode (decoder only; synthetic weights)
     vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -120,11 +122,13 @@ def main() -> None:
         (-(-T // CHUNK), CHUNK) + zj.shape[1:]
     )
     sync(decode(vae_params, zs))  # compile
-    zs2 = zs * 1.001
-    t0 = time.perf_counter()
-    out = decode(vae_params, zs2)
-    sync(out)
-    t_decode = time.perf_counter() - t0
+    t_decode = float("inf")
+    for i in (1, 2, 3):
+        zs2 = zs * (1.0 + 0.001 * i)
+        t0 = time.perf_counter()
+        out = decode(vae_params, zs2)
+        sync(out)
+        t_decode = min(t_decode, time.perf_counter() - t0)
 
     fps = T / (t_denoise + t_decode)
     print(
