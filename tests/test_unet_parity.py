@@ -117,3 +117,64 @@ def test_unet_init_shapes_match_conversion(ref):
     init_map = {jax.tree_util.keystr(p): v.shape for p, v in flat_init}
     conv_map = {jax.tree_util.keystr(p): v.shape for p, v in flat_conv}
     assert init_map == conv_map
+
+
+@pytest.mark.slow
+def test_unet_parity_alt_topology(ref, torch_sdpa_cpu):
+    """A second architecture (different depths/mults/attention resolutions)
+    to prove the topology walk + converter generalize beyond the flagship."""
+    spec = SevaSpec(
+        model_channels=32,
+        num_frames=2,
+        num_res_blocks=1,
+        attention_resolutions=(2, 1),
+        channel_mult=(1, 2, 2),
+        num_head_channels=16,
+        transformer_depth=(1, 2, 1),
+        context_dim=32,
+        unflatten_names=("middle_ds4", "output_ds2"),
+    )
+    params_t = ref.model.SevaParams(
+        model_channels=32,
+        num_frames=2,
+        num_res_blocks=1,
+        attention_resolutions=[2, 1],
+        channel_mult=[1, 2, 2],
+        num_head_channels=16,
+        transformer_depth=[1, 2, 1],
+        context_dim=32,
+        unflatten_names=["middle_ds4", "output_ds2"],
+    )
+    torch.manual_seed(1)
+    model = ref.model.Seva(params_t).eval()
+
+    T, H, W = 2, 16, 16
+    B = 2 * T
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(B, 11, H, W)).astype(np.float32)
+    t_idx = rng.integers(0, 1000, size=(B,))
+    context = rng.normal(size=(B, 1, 32)).astype(np.float32)
+    dense = rng.normal(size=(B, 6, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = model(
+            torch.from_numpy(x),
+            t=torch.from_numpy(t_idx),
+            y=torch.from_numpy(context),
+            dense_y=torch.from_numpy(dense),
+            num_frames=T,
+        ).numpy()
+
+    params = convert_seva_state_dict(model.state_dict(), spec)
+    unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+    out = unet.apply(
+        {"params": params},
+        jnp.asarray(np.moveaxis(x, 1, -1)),
+        jnp.asarray(t_idx),
+        jnp.asarray(context),
+        jnp.asarray(np.moveaxis(dense, 1, -1)),
+        num_frames=T,
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out), -1, 1), ref_out, atol=2e-4, rtol=1e-3
+    )
