@@ -81,3 +81,55 @@ def test_dataset_over_reconfusion(reconfusion_scene):
     item = test[0]
     assert item["image"].shape == (64, 64, 3)
     assert item["K"].shape == (3, 3)
+
+
+def test_cli_img2trajvid_s_prob_smoke(tmp_path, rng):
+    """Single unposed image -> preset orbit trajectory (two-pass), through the
+    CLI's parse_task (reference demo.py:81-118)."""
+    from PIL import Image
+
+    from stable_virtual_camera_tpu.apps import cli
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    Image.fromarray(
+        rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    ).save(data / "scene_a.png")
+
+    work_dir = str(tmp_path / "work")
+    cli.main(
+        data_path=str(data),
+        task="img2trajvid_s-prob",
+        use_traj_prior=True,
+        random_model=True,
+        work_dir=work_dir,
+        num_steps=2,
+        guider_types=[1, 2],
+        cfg=[2.0, 2.0],
+        traj_prior="orbit",
+        num_targets=4,
+        sampler_verbose=False,
+    )
+    out_dir = osp.join(work_dir, "img2trajvid_s-prob", "scene_a")
+    assert osp.exists(osp.join(out_dir, "samples-rgb.mp4"))
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    assert read_video(osp.join(out_dir, "samples-rgb.mp4")).shape[0] == 4
+
+
+def test_cli_img2img_single_pass(reconfusion_scene, tmp_path):
+    from stable_virtual_camera_tpu.apps import cli
+
+    work_dir = str(tmp_path / "work2")
+    cli.main(
+        data_path=str(reconfusion_scene.parent),
+        task="img2img",
+        random_model=True,
+        work_dir=work_dir,
+        num_steps=2,
+        chunk_strategy="nearest-gt",
+        sampler_verbose=False,
+    )
+    out_dir = osp.join(work_dir, "img2img", "scene0")
+    assert osp.exists(osp.join(out_dir, "samples-rgb.mp4"))
+    assert osp.exists(osp.join(out_dir, "transforms.json"))
