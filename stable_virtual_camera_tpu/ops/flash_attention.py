@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax in base 2: exp(x) == exp2(x * log2(e))
 
 
 def _pick_block(n: int, candidates: tuple[int, ...], max_waste: float = 1.2) -> int:
@@ -69,12 +70,15 @@ def _flash_kernel(
     key_ids = j * k_block + jax.lax.broadcasted_iota(jnp.int32, (1, k_block), 1)
     s = jnp.where(key_ids < seq_len, s, NEG_INF)
 
+    # base-2 online softmax: log2(e) is folded into `scale` by the caller, so
+    # s is already in the exp2 domain — exp2 is ~1.8x faster than exp on the
+    # VPU and the kernel is exp-throughput-bound (docs/ARCHITECTURE.md)
     m_prev = m_ref[:, :1]  # (Q_BLOCK, 1)
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     # bf16 probabilities for the PV matmul: measured ~2x on v5e (the MXU runs
     # the p@v contraction at twice the rate), error indistinguishable from the
@@ -116,7 +120,7 @@ def flash_attention(
 ) -> jnp.ndarray:
     B, L, H, D = q.shape
     S = k.shape[1]
-    scale = float(D) ** -0.5
+    scale = float(D) ** -0.5 * LOG2E  # base-2 softmax (see kernel)
 
     q_block = _pick_block(L, (256, 512, 1024))
     k_block = _pick_block(S, (512, 1024, 2048))
