@@ -43,3 +43,43 @@ def test_supported_predicate():
     assert not fa.supported(
         jnp.zeros((2, 2048, 4, 64)), jnp.zeros((2, 1, 4, 64)), jnp.zeros((2, 1, 4, 64))
     )
+
+
+def test_align_corners_resize_matches_torch():
+    """ops/resize align-corners bilinear == torch F.interpolate(align_corners=True)
+    (the ResBlock FiLM path, reference seva/modules/layers.py:126-128)."""
+    import torch
+    import torch.nn.functional as F
+
+    from stable_virtual_camera_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.default_rng(0)
+    for (hin, win), (hout, wout) in [((72, 72), (36, 36)), ((72, 72), (9, 9)),
+                                     ((6, 6), (72, 72)), ((5, 7), (13, 3))]:
+        x = rng.normal(size=(2, hin, win, 6)).astype(np.float32)
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (hout, wout)))
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(np.moveaxis(x, -1, 1)),
+                size=(hout, wout),
+                mode="bilinear",
+                align_corners=True,
+            )
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1), atol=1e-4)
+
+
+def test_upsample_nearest_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from stable_virtual_camera_tpu.ops.resize import upsample_nearest_2x
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 9, 9, 4)).astype(np.float32)
+    ours = np.asarray(upsample_nearest_2x(jnp.asarray(x)))
+    theirs = F.interpolate(
+        torch.from_numpy(np.moveaxis(x, -1, 1)), scale_factor=2, mode="nearest"
+    ).numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1))
