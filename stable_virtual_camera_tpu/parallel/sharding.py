@@ -77,3 +77,65 @@ def make_sharded_sampler(network_fn, mesh: Mesh, num_frames: int):
         in_shardings=(x_sh, plan_sh, _cond_shardings(mesh), scalar),
         out_shardings=x_sh,
     )
+
+
+def make_batched_sampler(network_fn, num_frames: int):
+    """vmap the whole sampling loop over a leading chunk axis — independent
+    chunks (e.g. every second-pass chunk, whose conditioning depends only on
+    fixed anchors) denoise concurrently in one program."""
+    import jax.numpy as jnp  # noqa: F401
+
+    def run(noises, plan_arrays, conds, keys):
+        # noises: (N, T, h, w, 4); conds: ChunkConditioning with leading N;
+        # keys: (N, 2) uint32
+        return jax.vmap(
+            lambda n, c, k: euler_edm_sample(
+                network_fn, n, plan_arrays, c, k, num_frames=num_frames
+            ),
+            in_axes=(0, 0, 0),
+        )(noises, conds, keys)
+
+    return jax.jit(run)
+
+
+def make_data_parallel_sampler(network_fn, mesh: Mesh, num_frames: int):
+    """Batched sampler with the chunk axis sharded over the mesh's 'data'
+    axis — each device group denoises different chunks (the reference's only
+    scaling story was sequential chunking; this is the TPU fan-out)."""
+    n_data = mesh.shape["data"]
+
+    def chunk_sh(rank: int) -> NamedSharding:
+        return NamedSharding(mesh, P("data", *([None] * (rank - 1))))
+
+    cond_sh = ChunkConditioning(
+        crossattn=chunk_sh(4),
+        concat=chunk_sh(5),
+        dense=chunk_sh(5),
+        replace=chunk_sh(5),
+        scale=chunk_sh(2),
+    )
+    scalar = NamedSharding(mesh, P())
+    plan_sh = {
+        k: scalar
+        for k in (
+            "sigma_hat_raw", "sigma_hat_quant", "t_indices", "sigma_next",
+            "noise_coeff", "init_scale",
+        )
+    }
+
+    def run(noises, plan_arrays, conds, keys):
+        assert noises.shape[0] % n_data == 0, (
+            f"chunk count {noises.shape[0]} must divide data axis {n_data}"
+        )
+        return jax.vmap(
+            lambda n, c, k: euler_edm_sample(
+                network_fn, n, plan_arrays, c, k, num_frames=num_frames
+            ),
+            in_axes=(0, 0, 0),
+        )(noises, conds, keys)
+
+    return jax.jit(
+        run,
+        in_shardings=(chunk_sh(5), plan_sh, cond_sh, chunk_sh(2)),
+        out_shardings=chunk_sh(5),
+    )

@@ -121,3 +121,34 @@ def test_ring_attention_matches_full():
         attn = make_ring_self_attention(mesh)
         out = attn(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_data_parallel_sampler_matches_sequential(setup):
+    """Batched chunks sharded over 'data' == looping chunks one at a time."""
+    from stable_virtual_camera_tpu.parallel.sharding import (
+        make_data_parallel_sampler,
+    )
+    from stable_virtual_camera_tpu.sampling.sampler import plan_to_device
+
+    spec, network_fn, noise, cond, plan = setup
+    T = spec.num_frames
+    N = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    noises = jnp.stack([noise * (1 + 0.01 * i) for i in range(N)])
+    conds = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * N), cond
+    )
+    pa = plan_to_device(plan)
+
+    seq = jnp.stack(
+        [
+            euler_edm_sample(network_fn, noises[i], pa, cond, keys[i], num_frames=T)
+            for i in range(N)
+        ]
+    )
+
+    mesh = make_mesh(n_data=4, n_view=2)
+    with mesh:
+        dp = make_data_parallel_sampler(network_fn, mesh, T)
+        out = dp(noises, pa, conds, keys)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=5e-4, rtol=1e-3)
