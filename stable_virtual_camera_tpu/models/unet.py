@@ -31,10 +31,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
-from stable_virtual_camera_tpu.ops.attention import scaled_dot_product_attention
+from stable_virtual_camera_tpu.ops.attention import sdpa_packed
 from stable_virtual_camera_tpu.ops.resize import (
     resize_bilinear_align_corners,
-    upsample_nearest_2x,
+    upsample_2x_conv3x3,
 )
 
 Dtype = Any
@@ -129,13 +129,10 @@ class Attention(nn.Module):
             q = dense(inner, "to_q", False)(x)
             k = dense(inner, "to_k", False)(context)
             v = dense(inner, "to_v", False)(context)
-        B, L, _ = q.shape
-        S = k.shape[1]
-        q = q.reshape(B, L, self.heads, self.dim_head)
-        k = k.reshape(B, S, self.heads, self.dim_head)
-        v = v.reshape(B, S, self.heads, self.dim_head)
-        out = scaled_dot_product_attention(q, k, v, use_pallas=self.use_pallas)
-        out = out.reshape(B, L, inner)
+        # stay in the packed (B, L, heads*64) layout end-to-end: the Pallas
+        # kernel slices heads in-lane, so no (B,L,H,D) transposes ever
+        # materialize (round-1's biggest layout cost, docs/ARCHITECTURE.md)
+        out = sdpa_packed(q, k, v, self.heads, use_pallas=self.use_pallas)
         return dense(query_dim, "to_out", True)(out)
 
 
@@ -371,7 +368,10 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest-2x + 3x3 conv (reference seva/modules/layers.py:35-46)."""
+    """Nearest-2x + 3x3 conv (reference seva/modules/layers.py:35-46),
+    computed as a low-res conv with 4x-wide output + pixel shuffle
+    (ops/resize.upsample_2x_conv3x3) — same math, no broadcast copy, full
+    MXU lane width."""
 
     channels: int
     dtype: Dtype = jnp.float32
@@ -379,15 +379,16 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
-        return nn.Conv(
-            self.channels,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            dtype=self.dtype,
+        from stable_virtual_camera_tpu.models.common import ConvParams
+
+        kernel, bias = ConvParams(
+            (3, 3, x.shape[-1], self.channels),
             param_dtype=self.param_dtype,
             name="conv",
-        )(x)
+        )()
+        return upsample_2x_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
 
 
 class SevaUNet(nn.Module):

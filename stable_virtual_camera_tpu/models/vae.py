@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from stable_virtual_camera_tpu.models.common import ConvParams
 import jax
 import jax.numpy as jnp
 
@@ -113,24 +115,32 @@ class VaeDownsample(nn.Module):
 
 
 class VaeUpsample(nn.Module):
+    """Nearest-2x upsample + 3x3 conv, computed as a LOW-RES 3x3 conv with
+    4x-wide output channels followed by depth-to-space (pixel shuffle).
+
+    Mathematically identical to upsample-then-conv (the nearest-neighbor
+    duplication makes taps collapse: out[2i+d] sums W[1]+W[2] on x[i] when
+    d=0, etc. — the rearranged kernel encodes exactly that), but TPU-shaped:
+    the conv runs at h x w with N = 4*C output lanes (full MXU tiles instead
+    of a narrow N), and the profiler-measured broadcast+copy of the upsampled
+    tensor (48% of decode time was copies/layout, docs/ARCHITECTURE.md round-2
+    journal) never materializes.
+    """
+
     channels: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)).reshape(
-            b, 2 * h, 2 * w, c
+        from stable_virtual_camera_tpu.ops.resize import upsample_2x_conv3x3
+
+        c = x.shape[-1]
+        kernel, bias = ConvParams((3, 3, c, self.channels),
+                                  param_dtype=self.param_dtype, name="conv")()
+        return upsample_2x_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
         )
-        return nn.Conv(
-            self.channels,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(x)
 
 
 class VaeMidBlock(nn.Module):

@@ -117,3 +117,41 @@ def scaled_dot_product_attention(
     if k.shape[1] > xla_max_seq:
         return attention_chunked(q, k, v)
     return attention_xla(q, k, v)
+
+
+@functools.partial(jax.named_call, name="sdpa_packed")
+def sdpa_packed(
+    q: jnp.ndarray,  # (B, L, W) with W = heads * 64 — the qkv-projection layout
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    *,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """SDPA on the packed (B, L, heads*64) layout.
+
+    The head-packed Pallas kernel (ops/flash_attention_packed.py) consumes
+    this layout with ZERO layout ops, but its per-head 64-lane slices measured
+    SLOWER end-to-end than the (B*H, L, D) kernel plus its transposes
+    (0.318 vs 0.362 f/s on the full bench — docs/ARCHITECTURE.md round-2
+    journal), so it is opt-in via SVC_PACKED_ATTENTION=1 until the slicing
+    cost is solved; the default routes through the proven reshape path.
+    """
+    if use_pallas:
+        import os
+
+        if os.environ.get("SVC_PACKED_ATTENTION", "0") == "1":
+            from stable_virtual_camera_tpu.ops import flash_attention_packed as fap
+
+            if fap.supported(q, k, heads):
+                return fap.flash_attention_packed(q, k, v, heads)
+    B, L, W = q.shape
+    S = k.shape[1]
+    d = W // heads
+    out = scaled_dot_product_attention(
+        q.reshape(B, L, heads, d),
+        k.reshape(B, S, heads, d),
+        v.reshape(B, S, heads, d),
+        use_pallas=use_pallas,
+    )
+    return out.reshape(B, L, W)

@@ -59,3 +59,48 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def upsample_2x_conv3x3(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """nearest-2x upsample followed by a 3x3 SAME conv, computed as a LOW-RES
+    3x3 conv with 4x-wide output channels + depth-to-space (pixel shuffle).
+
+    Mathematically identical (the nearest duplication collapses taps: e.g. the
+    even output row sums kernel rows 1+2 on x[i] and row 0 on x[i-1]) but
+    TPU-shaped: the conv runs at h x w with N = 4*C_out lanes — full MXU tiles
+    instead of a narrow N — and the profiler-measured broadcast+copy of the
+    upsampled tensor (48% of VAE decode time was copies/layout,
+    docs/ARCHITECTURE.md round-2 journal) never materializes.
+
+    kernel: (3, 3, C_in, C_out) HWIO (the checkpoint's plain conv weights);
+    bias: (C_out,).
+    """
+    import jax
+
+    b, h, w, c = x.shape
+    c_out = kernel.shape[-1]
+    # tap map for output offset d in {0,1}:
+    #   d=0: x_up[2i+ki-1] = x[i + (-1, 0, 0)[ki]]
+    #   d=1: x_up[2i+ki]   = x[i + (0, 0, 1)[ki]]
+    taps = ((-1, 0, 0), (0, 0, 1))
+    w2 = jnp.zeros((3, 3, c, 4, c_out), kernel.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            o = di * 2 + dj
+            for ki in range(3):
+                for kj in range(3):
+                    w2 = w2.at[taps[di][ki] + 1, taps[dj][kj] + 1, :, o].add(
+                        kernel[ki, kj]
+                    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        w2.reshape(3, 3, c, 4 * c_out),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + jnp.tile(bias.astype(y.dtype), 4)
+    y = y.reshape(b, h, w, 2, 2, c_out)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c_out)

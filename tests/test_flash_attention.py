@@ -33,6 +33,36 @@ def test_chunked_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("B,L,H", [(2, 1701, 4), (1, 1200, 2)])
+def test_flash_packed_matches_xla_interpret(B, L, H):
+    """Head-packed kernel on (B, L, H*64) == einsum attention (no layout ops)."""
+    from stable_virtual_camera_tpu.ops import flash_attention_packed as fap
+
+    rng = np.random.default_rng(0)
+    W = H * 64
+    q = jnp.asarray(rng.normal(size=(B, L, W)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, W)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, W)).astype(np.float32))
+    ref = attention_xla(
+        q.reshape(B, L, H, 64), k.reshape(B, L, H, 64), v.reshape(B, L, H, 64)
+    ).reshape(B, L, W)
+    out = fap.flash_attention_packed(q, k, v, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_packed_supported_predicate():
+    from stable_virtual_camera_tpu.ops import flash_attention_packed as fap
+
+    ok = jnp.zeros((2, 2048, 640), jnp.bfloat16)
+    assert fap.supported(ok, ok, 10)
+    # W % 128 != 0 (odd head count) falls back to the (B,L,H,D) path
+    odd = jnp.zeros((2, 2048, 320), jnp.bfloat16)
+    assert not fap.supported(odd, odd, 5)
+    # short sequences stay on einsum
+    short = jnp.zeros((2, 512, 640), jnp.bfloat16)
+    assert not fap.supported(short, short, 10)
+
+
 def test_supported_predicate():
     q = jnp.zeros((2, 2048, 4, 64), jnp.bfloat16)
     assert fa.supported(q, q, q)
