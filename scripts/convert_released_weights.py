@@ -1,0 +1,189 @@
+"""Convert the released Stable Virtual Camera checkpoints to this framework.
+
+The reference loads three frozen backbones at runtime (SURVEY.md §2.1 L0):
+  * the 1.3B Seva UNet: `stabilityai/stable-virtual-camera` `model.safetensors`
+    (reference seva/utils.py:29-56),
+  * the SD2.1 VAE: `stabilityai/stable-diffusion-2-1-base` diffusers weights
+    (reference seva/modules/autoencoder.py:12-17),
+  * OpenCLIP ViT-H-14 `laion2b_s32b_b79k` image tower
+    (reference seva/modules/conditioner.py:13-15).
+
+This image has no network egress, so downloading cannot run here; on a
+machine with the files this script performs the complete, validated
+conversion:
+
+    python scripts/convert_released_weights.py \
+        --seva /path/to/model.safetensors \
+        --vae /path/to/sd21_vae.safetensors \
+        --clip /path/to/open_clip_pytorch_model.bin \
+        --out checkpoints/converted
+
+Validation performed (the same checks tests/test_convert_fullscale.py pins on
+the reference architecture with random weights):
+  * SHA256 of every input file is printed and stored in manifest.json —
+    compare against the hashes on the model cards before trusting outputs,
+  * strict conversion: zero missing / zero unexpected keys (the reference
+    prints the same report at load, seva/utils.py:18-26),
+  * converted leaf shapes equal the flax init shapes exactly,
+  * parameter-count totals per model.
+
+Output: an orbax/msgpack cache directory that `models/io.load_bundle`
+consumes directly (apps/cli.py --checkpoint_dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def sha256(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _load_torch_or_safetensors(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def _check_shapes(converted: dict, init_shapes) -> int:
+    import jax
+
+    flat_conv = jax.tree_util.tree_leaves_with_path(converted)
+    flat_init = dict(
+        (jax.tree_util.keystr(p), v.shape)
+        for p, v in jax.tree_util.tree_leaves_with_path(init_shapes)
+    )
+    assert len(flat_conv) == len(flat_init), (
+        f"leaf count mismatch: {len(flat_conv)} converted vs {len(flat_init)} expected"
+    )
+    n = 0
+    for path, leaf in flat_conv:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_init, f"unexpected leaf {key}"
+        assert leaf.shape == flat_init[key], (key, leaf.shape, flat_init[key])
+        n += int(np.prod(leaf.shape))
+    return n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seva", help="path to model.safetensors (1.3B UNet)")
+    ap.add_argument("--vae", help="path to SD2.1 VAE weights")
+    ap.add_argument("--clip", help="path to OpenCLIP ViT-H-14 weights")
+    ap.add_argument("--out", required=True, help="output cache directory")
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stable_virtual_camera_tpu.config import SevaSpec
+    from stable_virtual_camera_tpu.models import convert as C
+    from stable_virtual_camera_tpu.models.clip import ClipVisionSpec, ClipVisionTower
+    from stable_virtual_camera_tpu.models.io import save_converted
+    from stable_virtual_camera_tpu.models.unet import SevaUNet
+    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
+
+    dtype = np.dtype(jnp.bfloat16 if args.dtype == "bfloat16" else np.float32)
+    manifest: dict = {"inputs": {}, "totals": {}, "dtype": args.dtype}
+    params_by_model: dict = {}
+
+    if args.seva:
+        digest = sha256(args.seva)
+        print(f"seva  sha256={digest}")
+        manifest["inputs"]["seva"] = {"path": args.seva, "sha256": digest}
+        spec = SevaSpec()
+        sd = _load_torch_or_safetensors(args.seva)
+        # strict=True == the reference's zero-missing/zero-unexpected report
+        params = C.convert_seva_state_dict(sd, spec, dtype=dtype, strict=True)
+        unet = SevaUNet(spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, 8, 8, spec.in_channels)),
+                jnp.zeros((2,), jnp.int32),
+                jnp.zeros((2, 1, spec.context_dim)),
+                jnp.zeros((2, 8, 8, spec.dense_in_channels)),
+                num_frames=1,
+            )["params"]
+        )
+        manifest["totals"]["seva"] = _check_shapes(params, shapes)
+        params_by_model["unet"] = params  # load_bundle key
+        print(f"seva  converted OK: {manifest['totals']['seva']:,} params")
+
+    if args.vae:
+        digest = sha256(args.vae)
+        print(f"vae   sha256={digest}")
+        manifest["inputs"]["vae"] = {"path": args.vae, "sha256": digest}
+        sd = _load_torch_or_safetensors(args.vae)
+        params = C.convert_vae_state_dict(sd, dtype=dtype, strict=True)
+        vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+                "params"
+            ]
+        )
+        manifest["totals"]["vae"] = _check_shapes(params, shapes)
+        params_by_model["vae"] = params
+        print(f"vae   converted OK: {manifest['totals']['vae']:,} params")
+
+    if args.clip:
+        digest = sha256(args.clip)
+        print(f"clip  sha256={digest}")
+        manifest["inputs"]["clip"] = {"path": args.clip, "sha256": digest}
+        sd = _load_torch_or_safetensors(args.clip)
+        spec = ClipVisionSpec()  # ViT-H-14
+        if any(k.startswith("visual.") for k in sd):
+            params = C.convert_clip_open_clip(sd, spec, dtype=dtype)
+        else:
+            params = C.convert_clip_hf(sd, spec, dtype=dtype)
+        tower = ClipVisionTower(spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))[
+                "params"
+            ]
+        )
+        manifest["totals"]["clip"] = _check_shapes(params, shapes)
+        params_by_model["clip"] = params
+        print(f"clip  converted OK: {manifest['totals']['clip']:,} params")
+
+    if not params_by_model:
+        ap.error("nothing to convert: pass at least one of --seva/--vae/--clip")
+
+    os.makedirs(args.out, exist_ok=True)
+    save_converted(params_by_model, args.out)
+    with open(osp.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"wrote {args.out} (manifest.json records input hashes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,21 @@
 """Gradio web app: Basic (single unposed image + preset trajectory) and
 Advanced (unposed images -> DUSt3R -> viser keyframe editor) modes.
 
-Structure parity with reference demo_gr.py:852-1264: per-session viser server
-+ abort-event registry, preprocess -> visualize -> render flow, progress bars
-sized by precomputed chunk counts, single-flight GPU queue. Heavy logic lives
-in the tested headless modules (apps/renderer.py, apps/trajectory.py); this
-file is the widget wiring and requires the optional gradio (+ viser) packages.
+Feature parity with reference demo_gr.py:852-1264:
+  * per-session viser server + abort-event registry, embedded in the page as
+    an iframe (demo_gr.py:739-804, 752-777),
+  * preprocess -> 3D scene visualization (camera frustums + point cloud,
+    demo_gr.py:247-355) -> render flow,
+  * progress bars sized by precomputed chunk x step counts (demo_gr.py:576-627),
+  * first-pass video STREAMED to the UI as the engine yields it, before the
+    second pass runs (demo_gr.py:664-701),
+  * >10 input views force the `interp` strategy (demo_gr.py:242-244 — applied
+    in HeadlessRenderer.prepare),
+  * single-flight GPU queue (concurrency_id, demo_gr.py:906-907).
+
+Heavy logic lives in the tested headless modules (apps/renderer.py,
+apps/scene_viz.py, apps/trajectory.py); this file is the widget wiring and
+requires the optional gradio (+ viser) packages.
 
 Run: python -m stable_virtual_camera_tpu.apps.gradio_app --checkpoint_dir ...
 """
@@ -32,6 +42,11 @@ def build_app(bundle, advanced: bool = True):
         preprocess_advanced,
         preprocess_basic,
     )
+    from stable_virtual_camera_tpu.apps.scene_viz import (
+        build_scene_viz,
+        populate_viser_scene,
+        viser_iframe_html,
+    )
 
     renderer = HeadlessRenderer(bundle, work_dir=WORK_DIR)
     dust3r = Dust3rPipeline() if (advanced and dust3r_available()) else None
@@ -40,13 +55,16 @@ def build_app(bundle, advanced: bool = True):
 
     def start_session(request: "gr.Request"):
         abort_events[request.session_hash] = threading.Event()
+        html = ""
         try:
             import viser
 
-            servers[request.session_hash] = viser.ViserServer()
+            server = viser.ViserServer()
+            servers[request.session_hash] = server
+            html = viser_iframe_html(server)  # demo_gr.py:752-777
         except ImportError:
             pass
-        return request.session_hash
+        return request.session_hash, html
 
     def end_session(request: "gr.Request"):
         ev = abort_events.pop(request.session_hash, None)
@@ -56,12 +74,22 @@ def build_app(bundle, advanced: bool = True):
         if server is not None:
             server.stop()
 
-    def do_preprocess_basic(img):
-        return preprocess_basic(np.asarray(img))
+    def show_scene(preprocessed, session_hash):
+        """Frustums + point cloud into the session's viser scene
+        (reference demo_gr.py:247-355)."""
+        server = servers.get(session_hash)
+        if server is not None and preprocessed is not None:
+            populate_viser_scene(server, build_scene_viz(preprocessed))
+        return preprocessed
 
-    def do_preprocess_advanced(files):
+    def do_preprocess_basic(img, session_hash):
+        return show_scene(preprocess_basic(np.asarray(img)), session_hash)
+
+    def do_preprocess_advanced(files, session_hash):
         assert dust3r is not None, "dust3r unavailable: Advanced mode disabled"
-        return preprocess_advanced([f.name for f in files], dust3r)
+        return show_scene(
+            preprocess_advanced([f.name for f in files], dust3r), session_hash
+        )
 
     def do_render(
         preprocessed,
@@ -73,20 +101,16 @@ def build_app(bundle, advanced: bool = True):
         num_frames,
         zoom_factor,
         camera_scale,
-        progress=None,
+        progress=gr.Progress(),
     ):
+        """Generator: streams the first-pass video as soon as the engine
+        yields it (reference demo_gr.py:664-701), progress sized by
+        chunk x step counts (demo_gr.py:576-627)."""
         abort_event = abort_events.get(session_hash)
         if abort_event is not None:
             abort_event.clear()
-        pbar = None
-        if progress is not None:
-            steps_done = [0]
 
-            def pbar(i, total):  # per-sigma-step progress (stepwise sampler)
-                steps_done[0] += 1
-                progress(steps_done[0] % max(total, 1) / max(total, 1))
-
-        gen = renderer.render(
+        plan = renderer.prepare(
             preprocessed,
             seed=int(seed),
             chunk_strategy=chunk_strategy,
@@ -95,14 +119,35 @@ def build_app(bundle, advanced: bool = True):
             num_frames=int(num_frames) if num_frames else None,
             zoom_factor=zoom_factor,
             camera_scale=float(camera_scale),
-            abort_event=abort_event,
-            first_pass_pbar=pbar,
-            second_pass_pbar=pbar,
         )
-        videos = list(gen)
-        first = videos[0] if len(videos) > 1 else None
-        final = videos[-1] if videos else None
-        return first, final
+        totals = (plan["first_pass_steps"], plan["second_pass_steps"])
+        done = [0, 0]
+
+        def make_pbar(pass_idx: int, desc: str):
+            def pbar(i, num_steps):  # called (step_i, steps_per_chunk) per chunk
+                done[pass_idx] += 1
+                progress(
+                    (done[pass_idx] / max(totals[pass_idx], 1), None),
+                    desc=f"{desc} {done[pass_idx]}/{totals[pass_idx]} steps",
+                )
+
+            return pbar
+
+        gen = renderer.run(
+            plan,
+            abort_event=abort_event,
+            first_pass_pbar=make_pbar(0, "First pass (anchors)"),
+            second_pass_pbar=make_pbar(1, "Second pass (interpolation)"),
+        )
+        first = None
+        for video in gen:
+            if first is None:
+                first = video
+                yield first, None  # stream the first pass immediately
+            else:
+                yield first, video
+        if abort_event is not None and abort_event.is_set():
+            gr.Info("Render aborted.")
 
     def do_abort(session_hash):
         ev = abort_events.get(session_hash)
@@ -112,6 +157,7 @@ def build_app(bundle, advanced: bool = True):
     with gr.Blocks() as app:
         session = gr.State()
         preprocessed = gr.State()
+        viser_html = gr.HTML(label="3D scene")
         with gr.Tab("Basic"):
             img_in = gr.Image(label="Input image")
             preset = gr.Dropdown(
@@ -127,12 +173,14 @@ def build_app(bundle, advanced: bool = True):
             num_frames = gr.Slider(10, 200, value=80, step=1, label="#frames")
             zoom = gr.Slider(0.1, 2.0, value=0.5, step=0.05, label="Zoom factor")
             pre_btn = gr.Button("Preprocess")
-            pre_btn.click(do_preprocess_basic, [img_in], [preprocessed])
+            pre_btn.click(do_preprocess_basic, [img_in, session], [preprocessed])
         if advanced:
             with gr.Tab("Advanced"):
                 files_in = gr.File(file_count="multiple", label="Input images")
                 pre_btn2 = gr.Button("Preprocess (DUSt3R)")
-                pre_btn2.click(do_preprocess_advanced, [files_in], [preprocessed])
+                pre_btn2.click(
+                    do_preprocess_advanced, [files_in, session], [preprocessed]
+                )
 
         seed = gr.Number(value=23, label="Seed")
         chunk_strategy = gr.Dropdown(
@@ -156,7 +204,7 @@ def build_app(bundle, advanced: bool = True):
             concurrency_limit=MAX_SESSIONS,
         )
         abort_btn.click(do_abort, [session])
-        app.load(start_session, None, [session])
+        app.load(start_session, None, [session, viser_html])
         app.unload(end_session)
     return app
 

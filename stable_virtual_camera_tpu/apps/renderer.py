@@ -127,7 +127,7 @@ class HeadlessRenderer:
         Ks = get_default_intrinsics(fovs, aspect_ratio=img_wh[0] / img_wh[1])
         return poses, Ks
 
-    def render(
+    def prepare(
         self,
         preprocessed: dict,
         seed: int = 23,
@@ -138,20 +138,19 @@ class HeadlessRenderer:
         num_frames: int | None = None,
         zoom_factor: float | None = None,
         camera_scale: float = 2.0,
-        abort_event=None,
-        first_pass_pbar=None,
-        second_pass_pbar=None,
         num_steps: int = 50,
-    ):
-        """Returns a generator of video paths (first pass, then final)."""
-        render_name = datetime.now().strftime("%Y%m%d_%H%M%S")
-        render_dir = osp.join(self.work_dir, render_name)
-
+    ) -> dict:
+        """Resolve the full render plan: targets, anchors, options (incl. the
+        reference's >10-input-views forced `interp` strategy, demo_gr.py:242-244)
+        and both passes' chunk counts for progress-bar sizing
+        (demo_gr.py:576-627). Returns a plan dict for `run`."""
         input_imgs = np.asarray(preprocessed["input_imgs"], np.float32)
         input_Ks = np.asarray(preprocessed["input_Ks"])
         input_c2ws = np.asarray(preprocessed["input_c2ws"])
         W, H = preprocessed["input_wh"]
         num_inputs = len(input_imgs)
+        if num_inputs > 10:  # reference demo_gr.py:242-244
+            chunk_strategy = "interp"
 
         if preset_traj is None:
             assert camera_traj_list is not None
@@ -195,32 +194,84 @@ class HeadlessRenderer:
         anchor_c2ws = all_c2ws[[round(ind) for ind in anchor_indices]]
         anchor_Ks = all_Ks[[round(ind) for ind in anchor_indices]]
 
+        first_chunks, second_chunks = self.chunk_counts(
+            input_c2ws,
+            anchor_c2ws,
+            target_c2ws,
+            input_indices,
+            [round(i) for i in anchor_indices],
+            list(range(num_inputs, num_inputs + num_targets)),
+            options,
+            version.T,
+        )
+
         all_imgs_np = (
             np.concatenate(
                 [input_imgs, np.zeros((num_targets,) + input_imgs.shape[1:])], 0
             )
             * 255.0
         ).astype(np.uint8)
-        image_cond = {
-            "img": [im for im in all_imgs_np],
-            "input_indices": input_indices,
-            "prior_indices": anchor_indices,
+        return {
+            "version": version,
+            "options": options,
+            "seed": seed,
+            "image_cond": {
+                "img": [im for im in all_imgs_np],
+                "input_indices": input_indices,
+                "prior_indices": anchor_indices,
+            },
+            "camera_cond": {
+                "c2w": all_c2ws.astype(np.float32),
+                "K": [k for k in all_Ks.astype(np.float32)],
+                "input_indices": list(range(num_inputs + num_targets)),
+            },
+            "anchor_c2ws": anchor_c2ws,
+            "anchor_Ks": anchor_Ks,
+            # progress-bar sizing: total sigma-steps per pass
+            "first_pass_steps": first_chunks * num_steps,
+            "second_pass_steps": second_chunks * num_steps,
+            "first_pass_chunks": first_chunks,
+            "second_pass_chunks": second_chunks,
         }
-        camera_cond = {
-            "c2w": all_c2ws.astype(np.float32),
-            "K": [k for k in all_Ks.astype(np.float32)],
-            "input_indices": list(range(num_inputs + num_targets)),
-        }
-        engine = SceneEngine(self.bundle, version, options)
+
+    def run(
+        self,
+        plan: dict,
+        abort_event=None,
+        first_pass_pbar=None,
+        second_pass_pbar=None,
+    ):
+        """Execute a prepared plan; yields video paths (first pass, then
+        final) as the engine produces them."""
+        render_name = datetime.now().strftime("%Y%m%d_%H%M%S")
+        render_dir = osp.join(self.work_dir, render_name)
+        engine = SceneEngine(self.bundle, plan["version"], plan["options"])
         return engine.run_one_scene(
             "img2trajvid",
-            image_cond,
-            camera_cond,
+            plan["image_cond"],
+            plan["camera_cond"],
             save_path=render_dir,
             use_traj_prior=True,
-            traj_prior_Ks=anchor_Ks,
-            traj_prior_c2ws=anchor_c2ws,
-            seed=seed,
+            traj_prior_Ks=plan["anchor_Ks"],
+            traj_prior_c2ws=plan["anchor_c2ws"],
+            seed=plan["seed"],
+            abort_event=abort_event,
+            first_pass_pbar=first_pass_pbar,
+            second_pass_pbar=second_pass_pbar,
+        )
+
+    def render(
+        self,
+        preprocessed: dict,
+        abort_event=None,
+        first_pass_pbar=None,
+        second_pass_pbar=None,
+        **kwargs,
+    ):
+        """prepare + run in one call; returns the video-path generator."""
+        plan = self.prepare(preprocessed, **kwargs)
+        return self.run(
+            plan,
             abort_event=abort_event,
             first_pass_pbar=first_pass_pbar,
             second_pass_pbar=second_pass_pbar,

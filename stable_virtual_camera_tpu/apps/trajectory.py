@@ -196,3 +196,77 @@ class CameraTrajectoryCore:
         self.reset()
         for c2w, fov in zip(np.asarray(c2ws), np.asarray(fovs)):
             self.add_keyframe(Keyframe.from_c2w(c2w, float(fov), aspect))
+
+    # ---- per-keyframe editing (reference seva/gui.py:90-229 edit modal) ----
+
+    def set_keyframe_fov_override(
+        self, index: int, enabled: bool, fov_rad: float | None = None
+    ) -> None:
+        kf = self.keyframes[index]
+        kf.override_fov_enabled = enabled
+        if fov_rad is not None:
+            kf.override_fov_rad = fov_rad
+
+    def set_keyframe_transition_override(
+        self, index: int, enabled: bool, transition_sec: float | None = None
+    ) -> None:
+        kf = self.keyframes[index]
+        kf.override_transition_enabled = enabled
+        if transition_sec is not None:
+            kf.override_transition_sec = transition_sec
+
+
+@dataclasses.dataclass
+class SavedCamera:
+    """A client camera state captured before the preview takeover."""
+
+    wxyz: np.ndarray
+    position: np.ndarray
+    fov_rad: float
+
+
+@dataclasses.dataclass
+class PreviewCamera:
+    """What the client cameras should be set to while previewing."""
+
+    c2w: np.ndarray
+    fov_rad: float
+    aspect: float
+
+
+class RenderPreviewController:
+    """Render-preview camera takeover (reference seva/gui.py:742-813):
+    entering preview saves every connected client's camera and drives them
+    along the trajectory with the render FOV/aspect locked; exiting restores
+    the saved cameras. Pure state machine — the viser shell applies the
+    returned states to real clients."""
+
+    def __init__(self, core: CameraTrajectoryCore):
+        self.core = core
+        self.preview_on = False
+        self._saved: dict[int, SavedCamera] = {}
+
+    def frame(self, normalized_t: float) -> PreviewCamera | None:
+        result = self.core.interpolate_pose_and_fov_rad(normalized_t)
+        if result is None:
+            return None
+        c2w, fov = result
+        return PreviewCamera(c2w=c2w, fov_rad=fov, aspect=self.core.get_aspect())
+
+    def enter(
+        self, client_cameras: dict[int, SavedCamera], normalized_t: float = 0.0
+    ) -> PreviewCamera | None:
+        """Save client cameras; returns the first preview frame (None and
+        no-op with <2 keyframes)."""
+        preview = self.frame(normalized_t)
+        if preview is None:
+            return None
+        self._saved = dict(client_cameras)
+        self.preview_on = True
+        return preview
+
+    def exit(self) -> dict[int, SavedCamera]:
+        """Returns the saved cameras for the shell to restore."""
+        self.preview_on = False
+        saved, self._saved = self._saved, {}
+        return saved

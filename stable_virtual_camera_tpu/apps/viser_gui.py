@@ -16,7 +16,12 @@ import time
 
 import numpy as np
 
-from stable_virtual_camera_tpu.apps.trajectory import CameraTrajectoryCore, Keyframe
+from stable_virtual_camera_tpu.apps.trajectory import (
+    CameraTrajectoryCore,
+    Keyframe,
+    RenderPreviewController,
+    SavedCamera,
+)
 from stable_virtual_camera_tpu.core.trajectories import get_preset_pose_fov
 
 GUI_PRESETS = ["orbit", "spiral", "lemniscate", "zoom-out", "dolly zoom-out"]
@@ -53,6 +58,80 @@ def define_gui(
 
     frustum_handles: list = []
 
+    def open_keyframe_modal(client, index: int) -> None:
+        """Per-keyframe edit modal (reference seva/gui.py:90-229): FOV
+        override, transition override, go-to, delete."""
+        kf = core.keyframes[index]
+        with client.gui.add_modal(f"Keyframe {index}") as modal:
+            override_fov = client.gui.add_checkbox(
+                "Override FOV", initial_value=kf.override_fov_enabled
+            )
+            fov_deg = client.gui.add_slider(
+                "FOV (deg)", min=20.0, max=120.0, step=1.0,
+                initial_value=np.rad2deg(
+                    kf.override_fov_rad if kf.override_fov_enabled else core.default_fov
+                ),
+                disabled=not kf.override_fov_enabled,
+            )
+            override_trans = client.gui.add_checkbox(
+                "Override transition", initial_value=kf.override_transition_enabled
+            )
+            trans_sec = client.gui.add_number(
+                "Transition (sec)", min=0.01, max=30.0, step=0.1,
+                initial_value=kf.override_transition_sec
+                or core.default_transition_sec,
+                disabled=not kf.override_transition_enabled,
+            )
+            goto_btn = client.gui.add_button("Go to")
+            delete_btn = client.gui.add_button("Delete", color="red")
+            close_btn = client.gui.add_button("Close")
+
+            @override_fov.on_update
+            def _(_) -> None:
+                core.set_keyframe_fov_override(
+                    index, override_fov.value, np.deg2rad(fov_deg.value)
+                )
+                fov_deg.disabled = not override_fov.value
+                redraw_keyframes()
+
+            @fov_deg.on_update
+            def _(_) -> None:
+                if override_fov.value:
+                    core.set_keyframe_fov_override(
+                        index, True, np.deg2rad(fov_deg.value)
+                    )
+                    redraw_keyframes()
+
+            @override_trans.on_update
+            def _(_) -> None:
+                core.set_keyframe_transition_override(
+                    index, override_trans.value, trans_sec.value
+                )
+                trans_sec.disabled = not override_trans.value
+                duration_number.value = core.compute_duration()
+
+            @trans_sec.on_update
+            def _(_) -> None:
+                if override_trans.value:
+                    core.set_keyframe_transition_override(index, True, trans_sec.value)
+                    duration_number.value = core.compute_duration()
+
+            @goto_btn.on_click
+            def _(_) -> None:
+                client.camera.wxyz = kf.wxyz
+                client.camera.position = kf.position
+
+            @delete_btn.on_click
+            def _(_) -> None:
+                core.remove_keyframe(index)
+                modal.close()
+                redraw_keyframes()
+                duration_number.value = core.compute_duration()
+
+            @close_btn.on_click
+            def _(_) -> None:
+                modal.close()
+
     def redraw_keyframes():
         for h in frustum_handles:
             h.remove()
@@ -60,17 +139,21 @@ def define_gui(
         for i, kf in enumerate(core.keyframes):
             from stable_virtual_camera_tpu.core.kb_splines import quat_normalize
 
-            frustum_handles.append(
-                server.scene.add_camera_frustum(
-                    f"{scene_node_prefix}cameras/{i}",
-                    fov=kf.override_fov_rad if kf.override_fov_enabled else core.default_fov,
-                    aspect=kf.aspect,
-                    scale=0.1 * core.scene_scale,
-                    color=(200, 10, 30),
-                    wxyz=quat_normalize(kf.wxyz),
-                    position=kf.position,
-                )
+            handle = server.scene.add_camera_frustum(
+                f"{scene_node_prefix}cameras/{i}",
+                fov=kf.override_fov_rad if kf.override_fov_enabled else core.default_fov,
+                aspect=kf.aspect,
+                scale=0.1 * core.scene_scale,
+                color=(200, 10, 30),
+                wxyz=quat_normalize(kf.wxyz),
+                position=kf.position,
             )
+
+            @handle.on_click
+            def _(event, _i=i) -> None:  # click frustum -> edit modal
+                open_keyframe_modal(event.client, _i)
+
+            frustum_handles.append(handle)
         redraw_spline()
 
     spline_nodes: list = []
@@ -199,6 +282,66 @@ def define_gui(
 
         threading.Thread(target=play, daemon=True).start()
 
+    # ---- render-preview camera takeover (reference seva/gui.py:742-813) ----
+    preview = RenderPreviewController(core)
+    preview_slider = server.gui.add_slider(
+        "Preview frame", min=0.0, max=1.0, step=0.005, initial_value=0.0
+    )
+    preview_btn = server.gui.add_button(
+        "Preview render", icon=viser.Icon.CAMERA_CHECK
+    )
+    exit_preview_btn = server.gui.add_button(
+        "Exit render preview", visible=False
+    )
+
+    def _apply_preview(frame) -> None:
+        from stable_virtual_camera_tpu.core.kb_splines import quat_from_matrix
+
+        for client in server.get_clients().values():
+            client.camera.wxyz = quat_from_matrix(frame.c2w[:3, :3])
+            client.camera.position = frame.c2w[:3, 3]
+            client.camera.fov = frame.fov_rad  # aspect is locked by the UI
+
+    @preview_btn.on_click
+    def _(event) -> None:
+        cameras = {
+            cid: SavedCamera(
+                wxyz=np.array(c.camera.wxyz),
+                position=np.array(c.camera.position),
+                fov_rad=float(c.camera.fov),
+            )
+            for cid, c in server.get_clients().items()
+        }
+        frame = preview.enter(cameras, preview_slider.value)
+        if frame is None:
+            return
+        gui_state.preview_render = True
+        gui_state.preview_fov = frame.fov_rad
+        gui_state.preview_aspect = frame.aspect
+        preview_btn.visible = False
+        exit_preview_btn.visible = True
+        _apply_preview(frame)
+
+    @preview_slider.on_update
+    def _(_) -> None:
+        if preview.preview_on:
+            frame = preview.frame(preview_slider.value)
+            if frame is not None:
+                _apply_preview(frame)
+
+    @exit_preview_btn.on_click
+    def _(event) -> None:
+        saved = preview.exit()
+        gui_state.preview_render = False
+        preview_btn.visible = True
+        exit_preview_btn.visible = False
+        for cid, client in server.get_clients().items():
+            cam = saved.get(cid)
+            if cam is not None:
+                client.camera.wxyz = cam.wxyz
+                client.camera.position = cam.position
+                client.camera.fov = cam.fov_rad
+
     set_traj_button = server.gui.add_button(
         "Set camera trajectory", color="green", icon=viser.Icon.CHECK
     )
@@ -221,34 +364,23 @@ def visualize_scene(
     scene_node_prefix: str = "/scene_assets",
 ):
     """Input-camera frustums (with image thumbnails) + per-view point clouds
-    (reference demo_gr.py:247-355 `visualize_scene`)."""
-    from stable_virtual_camera_tpu.core.kb_splines import quat_from_matrix
+    (reference demo_gr.py:247-355 `visualize_scene`); geometry computed by the
+    tested headless builder (apps/scene_viz.py)."""
+    from stable_virtual_camera_tpu.apps.scene_viz import (
+        build_scene_viz,
+        populate_viser_scene,
+    )
 
-    server.scene.reset()
-    handles = []
-    for i, (img, K, c2w) in enumerate(zip(input_imgs, input_Ks, input_c2ws)):
-        H, W = img.shape[:2]
-        fov = 2.0 * np.arctan(0.5 / K[1, 1])
-        handles.append(
-            server.scene.add_camera_frustum(
-                f"{scene_node_prefix}/cameras/{i}",
-                fov=float(fov),
-                aspect=W / H,
-                scale=0.1 * scene_scale,
-                image=(np.asarray(img) * 255).astype(np.uint8),
-                wxyz=quat_from_matrix(c2w[:3, :3]),
-                position=c2w[:3, 3],
-            )
-        )
-    for i, (pts, cols) in enumerate(zip(points, point_colors)):
-        if len(pts) == 0:
-            continue
-        handles.append(
-            server.scene.add_point_cloud(
-                f"{scene_node_prefix}/points/{i}",
-                points=np.asarray(pts),
-                colors=np.asarray(cols),
-                point_size=0.01 * scene_scale,
-            )
-        )
-    return handles
+    H, W = np.asarray(input_imgs[0]).shape[:2]
+    viz = build_scene_viz(
+        {
+            "input_imgs": input_imgs,
+            "input_Ks": input_Ks,
+            "input_c2ws": input_c2ws,
+            "input_wh": (W, H),
+            "points": points,
+            "point_colors": point_colors,
+            "scene_scale": scene_scale,
+        }
+    )
+    populate_viser_scene(server, viz)

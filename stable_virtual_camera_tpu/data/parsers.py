@@ -6,8 +6,10 @@ Field-contract parity with reference seva/data_io.py:29-428 (`BaseParser`,
 shapes and conventions (OpenCV c2ws; reconfusion transforms.json is OpenGL and
 gets its y/z columns flipped; per-split train/test id files keyed by #inputs).
 
-pycolmap is optional in this image; COLMAPParser raises a clear error if it is
-unavailable (same dependency posture as the reference, data_io.py:139-145).
+COLMAP text-format models parse with zero native dependencies
+(data/colmap_text.py); binary models use pycolmap when installed, with a
+clear error otherwise (the reference requires pycolmap for both,
+data_io.py:139-145).
 """
 
 from __future__ import annotations
@@ -212,12 +214,20 @@ class COLMAPParser(BaseParser):
         super().__init__(data_dir, factor, normalize, test_every)
         colmap_dir = os.path.join(data_dir, colmap_folder)
         assert os.path.exists(colmap_dir), f"COLMAP directory {colmap_dir} missing."
-        try:
-            from pycolmap import SceneManager
-        except ImportError as e:
-            raise ImportError(
-                "pycolmap is required for COLMAPParser (not bundled in this image)"
-            ) from e
+        from stable_virtual_camera_tpu.data.colmap_text import TextSceneManager
+
+        if TextSceneManager.is_text_model(colmap_dir):
+            # text models need no native dependency (data/colmap_text.py)
+            SceneManager = TextSceneManager
+        else:
+            try:
+                from pycolmap import SceneManager
+            except ImportError as e:
+                raise ImportError(
+                    "pycolmap is required for binary COLMAP models (text models "
+                    "parse without it; convert with `colmap model_converter "
+                    "--output_type TXT`)"
+                ) from e
 
         manager = SceneManager(colmap_dir)
         manager.load_cameras()

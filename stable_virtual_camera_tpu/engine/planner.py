@@ -469,6 +469,17 @@ def _plan_interp(
             if input_left:
                 chunk.append(f"!{i + base_i:03d}")
         else:
+            # feasibility guard: a freshly reset chunk means this gap's tests
+            # can never fit in T - |gt_chunk| - 1 slots. The reference asserts
+            # tests-per-gap <= T-2 (eval.py:759-762) but misses the gt-chunk
+            # reduction, so its loop never terminates in this regime; we fail
+            # loudly instead.
+            assert len(chunk) > len(gt_chunk) + 1, (
+                f"interp chunking infeasible: {int(in_stop_range.sum())} tests in "
+                f"one anchor gap but only {T - len(gt_chunk) - 2} fit "
+                f"(T={T}, {len(gt_chunk)} gt inputs); use a larger T, more "
+                f"anchors, or a non-gt interp strategy"
+            )
             chunk += ["NULL"] * space_left
             chunks.append(chunk)
             chunk = gt_chunk + [f"!{i + base_i:03d}"]

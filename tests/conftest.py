@@ -23,6 +23,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU in this image computes fp32 dots with bf16-class fast-math under
+# some thread configurations (measured abs err ~0.3 vs float64 on unit-normal
+# 1701x1280 matmuls!). Parity tolerances are meaningless under that; force
+# true fp32 dots for all CPU test comparisons.
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: this box has ONE cpu core, and tiny-model
+# engine compiles dominate test wall time; cache them across runs/sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -1,0 +1,186 @@
+"""Headless tests for the GUI-facing logic: scene visualization geometry
+(reference demo_gr.py:247-355), render-plan preparation (chunk-count progress
+sizing demo_gr.py:576-627, >10-view interp forcing demo_gr.py:242-244), and
+first-pass streaming order (demo_gr.py:664-701)."""
+
+import numpy as np
+import pytest
+
+from stable_virtual_camera_tpu.apps.scene_viz import (
+    SceneViz,
+    build_scene_viz,
+    fov_from_K,
+    rotmat_to_wxyz,
+)
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _quat_to_rot(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def test_rotmat_quaternion_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        # random rotation via QR
+        q_mat, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q_mat) < 0:
+            q_mat[:, 0] *= -1
+        q = rotmat_to_wxyz(q_mat)
+        np.testing.assert_allclose(_quat_to_rot(q), q_mat, atol=1e-10)
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-12
+
+
+def test_fov_from_K():
+    # fy chosen so the vertical half-angle is exactly 30 degrees
+    H = 576
+    fy = (H / 2) / np.tan(np.deg2rad(30))
+    K = np.array([[600.0, 0, 288], [0, fy, 288], [0, 0, 1]])
+    assert abs(np.rad2deg(fov_from_K(K, (576, H))) - 60.0) < 1e-9
+
+
+def _fake_preprocessed(n_views=3, n_points=1000, W=576, H=384):
+    rng = np.random.default_rng(1)
+    c2ws = np.stack([np.eye(4)] * n_views)
+    c2ws[:, :3, 3] = rng.normal(size=(n_views, 3))
+    c2ws[:, :3, :3] = _rot_x(0.3)
+    Ks = np.stack([np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]])] * n_views)
+    return {
+        "input_imgs": rng.uniform(size=(n_views, H, W, 3)).astype(np.float32),
+        "input_Ks": Ks,
+        "input_c2ws": c2ws,
+        "input_wh": (W, H),
+        "points": [rng.normal(size=(n_points, 3))],
+        "point_colors": [rng.uniform(size=(n_points, 3))],
+        "scene_scale": 2.0,
+    }
+
+
+def test_build_scene_viz_contents():
+    pre = _fake_preprocessed()
+    viz = build_scene_viz(pre)
+    assert isinstance(viz, SceneViz)
+    assert len(viz.frustums) == 3
+    f = viz.frustums[0]
+    # normalized K with fy=1.0 -> fy_px = H -> fov = 2 atan(0.5)
+    assert abs(f.fov_rad - 2 * np.arctan(0.5)) < 1e-9
+    assert abs(f.aspect - 576 / 384) < 1e-12
+    assert abs(f.scale - 0.1 * 2.0) < 1e-12  # tied to scene_scale
+    np.testing.assert_allclose(f.position, pre["input_c2ws"][0, :3, 3])
+    np.testing.assert_allclose(_quat_to_rot(f.wxyz), _rot_x(0.3), atol=1e-9)
+    assert f.image is not None and f.image.dtype == np.uint8
+    assert max(f.image.shape[:2]) <= 128
+    assert viz.points.shape == (1000, 3)
+    assert viz.point_colors.dtype == np.uint8
+    assert abs(viz.point_size - 0.01 * 2.0) < 1e-12
+
+
+def test_build_scene_viz_subsamples_points():
+    pre = _fake_preprocessed(n_points=5000)
+    viz = build_scene_viz(pre, max_points=1234)
+    assert viz.points.shape == (1234, 3)
+    assert viz.point_colors.shape == (1234, 3)
+
+
+@pytest.fixture(scope="module")
+def tiny_renderer(tmp_path_factory):
+    from stable_virtual_camera_tpu.apps.renderer import HeadlessRenderer
+    from stable_virtual_camera_tpu.config import VersionConfig
+    from stable_virtual_camera_tpu.models.io import random_bundle
+
+    r = HeadlessRenderer(
+        random_bundle(image_hw=(64, 64)),
+        work_dir=str(tmp_path_factory.mktemp("gui_render")),
+    )
+    r.version = VersionConfig(H=64, W=64, T=5)
+    return r
+
+
+def _basic_pre(W=64, H=64):
+    rng = np.random.default_rng(0)
+    return {
+        "input_imgs": rng.uniform(size=(1, H, W, 3)).astype(np.float32),
+        "input_Ks": np.array([[[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]]]),
+        "input_c2ws": np.eye(4)[None],
+        "input_wh": (W, H),
+        "scene_scale": 1.0,
+    }
+
+
+def test_prepare_plan_counts_and_streaming(tiny_renderer):
+    plan = tiny_renderer.prepare(
+        _basic_pre(),
+        preset_traj="orbit",
+        num_frames=8,
+        zoom_factor=0.5,
+        num_steps=4,
+        # T=5 with a gt chunk leaves only 2 interp slots per anchor gap —
+        # infeasible for this anchor spacing (the planner now raises); plain
+        # interp fits
+        chunk_strategy="interp",
+    )
+    assert plan["first_pass_chunks"] >= 1 and plan["second_pass_chunks"] >= 1
+    assert plan["first_pass_steps"] == plan["first_pass_chunks"] * 4
+    assert plan["second_pass_steps"] == plan["second_pass_chunks"] * 4
+
+    calls = {"first": 0, "second": 0}
+    videos = []
+    first_seen_before_final = []
+    gen = tiny_renderer.run(
+        plan,
+        first_pass_pbar=lambda i, n: calls.__setitem__("first", calls["first"] + 1),
+        second_pass_pbar=lambda i, n: calls.__setitem__("second", calls["second"] + 1),
+    )
+    for v in gen:
+        videos.append(v)
+        first_seen_before_final.append(calls["second"])
+    # engine yields first-pass video BEFORE any second-pass step ran
+    assert len(videos) == 2
+    assert first_seen_before_final[0] == 0 and calls["second"] > 0
+    # pbar totals match the plan's precomputed sizes
+    assert calls["first"] == plan["first_pass_steps"]
+    assert calls["second"] == plan["second_pass_steps"]
+
+
+def test_prepare_forces_interp_above_10_views(tiny_renderer):
+    from conftest import random_c2ws
+
+    rng = np.random.default_rng(2)
+    n = 11
+    pre = {
+        "input_imgs": rng.uniform(size=(n, 64, 64, 3)).astype(np.float32),
+        "input_Ks": np.stack(
+            [np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]])] * n
+        ),
+        "input_c2ws": random_c2ws(rng, n),
+        "input_wh": (64, 64),
+        "scene_scale": 1.0,
+    }
+    traj = [
+        {
+            "w2c": np.linalg.inv(c2w).reshape(-1).tolist(),
+            "K": (np.array([[64.0, 0, 32], [0, 64.0, 32], [0, 0, 1]]))
+            .reshape(-1)
+            .tolist(),
+            "img_wh": (64, 64),
+        }
+        for c2w in random_c2ws(rng, 12)
+    ]
+    # realistic T so the interp schedule is feasible at 11 inputs
+    from stable_virtual_camera_tpu.config import VersionConfig
+
+    renderer = type(tiny_renderer)(tiny_renderer.bundle, work_dir=tiny_renderer.work_dir)
+    renderer.version = VersionConfig(H=64, W=64, T=21)
+    plan = renderer.prepare(pre, camera_traj_list=traj, chunk_strategy="nearest-gt")
+    assert plan["options"].chunk_strategy == "interp"  # demo_gr.py:242-244

@@ -221,3 +221,26 @@ def test_compute_relative_inds_matches_reference(ref):
     ours = prior.compute_relative_inds(source, target)
     theirs = ref.eval.compute_relative_inds(source, target)
     assert ours == theirs
+
+
+def test_interp_gt_infeasible_raises(rng):
+    """interp-gt with more tests per anchor gap than T - |gt| - 2 used to spin
+    forever (the reference's feasibility assert, eval.py:759-762, misses the
+    gt-chunk reduction and its loop never terminates there); ours raises."""
+    T = 5
+    # 1 gt + 2 anchors; 3 targets inside the single anchor gap: passes the
+    # reference's tests-per-gap <= T-2 (=3) assert but only T-2-|gt| (=2) fit
+    input_c2ws = random_c2ws(rng, 3)
+    test_c2ws = random_c2ws(rng, 3)
+    with pytest.raises(AssertionError, match="interp chunking infeasible"):
+        planner.chunk_input_and_test(
+            T,
+            input_c2ws,
+            test_c2ws,
+            [0, 1.0, 10.0],
+            [2, 3, 4],
+            options=EngineOptions(sampler_verbose=False),
+            task="img2trajvid",
+            chunk_strategy="interp-gt",
+            gt_input_inds=[0],
+        )

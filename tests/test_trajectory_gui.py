@@ -116,3 +116,70 @@ def test_preset_keyframes(rng):
     assert len(core.keyframes) == 10
     out = core.interpolate_pose_and_fov_rad(0.5)
     assert out is not None
+
+
+def test_keyframe_edit_overrides(rng):
+    """Per-keyframe FOV/transition overrides (reference seva/gui.py:90-229)."""
+    from stable_virtual_camera_tpu.core.trajectories import get_preset_pose_fov
+
+    poses, fovs = get_preset_pose_fov("orbit", 5, np.eye(4), np.array([0.0, 0.0, 10.0]))
+    core = CameraTrajectoryCore()
+    core.default_fov = float(fovs[0])
+    core.default_transition_sec = 1.0
+    core.set_keyframes_from_poses(poses, fovs, aspect=1.0)
+
+    base_duration = core.compute_duration()
+    assert base_duration == pytest.approx(4.0)  # 4 transitions x 1s
+
+    core.set_keyframe_transition_override(2, True, 3.0)
+    assert core.compute_duration() == pytest.approx(6.0)
+    core.set_keyframe_transition_override(2, False)
+    assert core.compute_duration() == pytest.approx(4.0)
+
+    core.set_keyframe_fov_override(1, True, 1.2)
+    # fov spline now passes exactly through the override at keyframe 1
+    t_kf1 = core.compute_transition_times_cumsum()[1] / core.compute_duration()
+    _, fov = core.interpolate_pose_and_fov_rad(float(t_kf1))
+    assert fov == pytest.approx(1.2, abs=1e-6)
+
+    n = len(core.keyframes)
+    core.remove_keyframe(1)
+    assert len(core.keyframes) == n - 1
+
+
+def test_render_preview_controller(rng):
+    """Render-preview camera takeover state machine (reference
+    seva/gui.py:742-813): enter saves client cameras, frame() follows the
+    trajectory with the render fov/aspect, exit returns the saved states."""
+    from stable_virtual_camera_tpu.apps.trajectory import (
+        RenderPreviewController,
+        SavedCamera,
+    )
+    from stable_virtual_camera_tpu.core.trajectories import get_preset_pose_fov
+
+    core = CameraTrajectoryCore()
+    ctrl = RenderPreviewController(core)
+    # <2 keyframes: no-op
+    assert ctrl.enter({}, 0.0) is None and not ctrl.preview_on
+
+    poses, fovs = get_preset_pose_fov("orbit", 6, np.eye(4), np.array([0.0, 0.0, 10.0]))
+    core.default_fov = float(fovs[0])
+    core.set_keyframes_from_poses(poses, fovs, aspect=1.5)
+
+    saved = {
+        7: SavedCamera(
+            wxyz=np.array([1.0, 0, 0, 0]), position=np.zeros(3), fov_rad=0.8
+        )
+    }
+    frame0 = ctrl.enter(saved, 0.0)
+    assert ctrl.preview_on
+    assert frame0.aspect == pytest.approx(1.5)
+    np.testing.assert_allclose(frame0.c2w[:3, 3], poses[0][:3, 3], atol=1e-8)
+
+    mid = ctrl.frame(0.5)
+    assert mid is not None and not np.allclose(mid.c2w[:3, 3], frame0.c2w[:3, 3])
+
+    restored = ctrl.exit()
+    assert not ctrl.preview_on
+    assert restored[7].fov_rad == pytest.approx(0.8)
+    assert ctrl.exit() == {}  # idempotent
