@@ -100,6 +100,11 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # ring-attention context (parallel/ring_attention.py): when set, joint
+    # self-attention stays view-sharded and rotates K/V over ICI instead of
+    # the GSPMD all-gather — the large-T multi-chip regime (SURVEY.md §5.7)
+    ring_mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -129,10 +134,17 @@ class Attention(nn.Module):
             q = dense(inner, "to_q", False)(x)
             k = dense(inner, "to_k", False)(context)
             v = dense(inner, "to_v", False)(context)
-        # stay in the packed (B, L, heads*64) layout end-to-end: the Pallas
-        # kernel slices heads in-lane, so no (B,L,H,D) transposes ever
-        # materialize (round-1's biggest layout cost, docs/ARCHITECTURE.md)
-        out = sdpa_packed(q, k, v, self.heads, use_pallas=self.use_pallas)
+        if self.ring_axis is not None and context is None:
+            from stable_virtual_camera_tpu.parallel.ring_attention import (
+                ring_sdpa_packed,
+            )
+
+            out = ring_sdpa_packed(
+                q, k, v, self.heads, self.ring_mesh, self.ring_axis
+            )
+        else:
+            # packed (B, L, heads*64) layout end-to-end
+            out = sdpa_packed(q, k, v, self.heads, use_pallas=self.use_pallas)
         return dense(query_dim, "to_out", True)(out)
 
 
@@ -167,6 +179,8 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -178,7 +192,9 @@ class TransformerBlock(nn.Module):
             use_pallas=self.use_pallas,
         )
         ln = lambda name: LayerNorm32(param_dtype=self.param_dtype, name=name)  # noqa: E731
-        x = Attention(**kw, name="attn1")(ln("norm1")(x)) + x
+        x = Attention(
+            **kw, ring_mesh=self.ring_mesh, ring_axis=self.ring_axis, name="attn1"
+        )(ln("norm1")(x)) + x
         x = Attention(**kw, name="attn2")(ln("norm2")(x), context) + x
         x = FeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(
             ln("norm3")(x)
@@ -254,6 +270,8 @@ class MultiviewTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context, num_frames: int):
@@ -284,6 +302,9 @@ class MultiviewTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 use_pallas=self.use_pallas,
+                # ring attention only applies to the fused multiview sequence
+                ring_mesh=self.ring_mesh if self.unflatten else None,
+                ring_axis=self.ring_axis if self.unflatten else None,
                 name=f"spatial_{d}",
             )(y, ctx)
             if self.unflatten:
@@ -407,6 +428,9 @@ class SevaUNet(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # view-sharded ring attention for the joint t*h*w layers (multi-chip)
+    ring_mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, t_idx, context, dense_emb, num_frames: int):
@@ -429,6 +453,8 @@ class SevaUNet(nn.Module):
                 depth=sp.transformer_depth[min(level_name_to_level[level_name], len(sp.transformer_depth) - 1)],
                 unflatten=level_name in sp.unflatten_names,
                 use_pallas=self.use_pallas,
+                ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 name=name,
                 **kw,
             )

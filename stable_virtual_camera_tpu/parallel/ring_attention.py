@@ -75,6 +75,44 @@ def ring_attention(
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
+def ring_sdpa_packed(
+    q: jnp.ndarray,  # (B, L_global, W) packed layout, W = heads * 64
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    mesh,
+    axis_name: str = "view",
+) -> jnp.ndarray:
+    """shard_map island for the UNet's joint multiview self-attention under
+    view sharding: q/k/v arrive sharded on the (T*h*w) sequence axis and STAY
+    sharded — K/V shards rotate around the ICI ring (ppermute) instead of the
+    GSPMD all-gather the jit path would insert (O(L_local), not O(L_global),
+    memory per chip). Drop-in for sdpa_packed inside a sharded program."""
+    from jax.sharding import PartitionSpec as P
+
+    B, L, W = q.shape
+    D = W // heads
+    spec = P(None, axis_name, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    def attn(q, k, v):
+        b, l_loc, _ = q.shape
+        out = ring_attention(
+            q.reshape(b, l_loc, heads, D),
+            k.reshape(b, l_loc, heads, D),
+            v.reshape(b, l_loc, heads, D),
+            axis_name,
+        )
+        return out.reshape(b, l_loc, W)
+
+    return attn(q, k, v)
+
+
 def make_ring_self_attention(mesh, axis_name: str = "view"):
     """shard_map-wrapped ring self-attention: global (B, L, H, D) arrays
     sharded on L over `axis_name`."""

@@ -95,3 +95,40 @@ def test_export_reconfusion_roundtrip(tmp_path, rng):
     assert parser.camtoworlds.shape == (n, 4, 4)
     # OpenGL flip roundtrips back to the original OpenCV poses
     np.testing.assert_allclose(parser.camtoworlds, c2ws, atol=1e-8)
+
+
+def test_benchmark_entries_table():
+    """The 17-entry table is machine-readable and matches the reference's
+    documented per-entry processing (reference benchmark/README.md:6-148,
+    docs/CLI_USAGE.md:60-110)."""
+    from benchmark.entries import ENTRIES, cli_flags, eval_kwargs
+
+    assert len(ENTRIES) == 17
+    # center-crop-to-576 entries have no L_short; V-splits are the inverse
+    for path, e in ENTRIES.items():
+        assert (e.center_crop_input == 576) != (e.l_short == 576), path
+    # V splits: L_short input + center-crop post + T=25
+    for path in ("re10k-viewcrafter", "co3d-viewcrafter", "tnt-viewcrafter"):
+        e = ENTRIES[path]
+        assert e.l_short == 576 and e.post_center_crop == 576 and e.T == 25
+        assert cli_flags(e, 2)["T"] == 25 and cli_flags(e, 2)["L_short"] == 576
+    # 4DiM + pixelSplat post-resize to 256
+    assert ENTRIES["re10k-4dim"].post_resize == 256
+    assert ENTRIES["re10k-pixelsplat"].post_resize == 256
+    assert eval_kwargs(ENTRIES["re10k-4dim"]) == {
+        "center_crop": None, "resize_to": 256,
+    }
+    # RE10K single-view cfg rule
+    assert cli_flags(ENTRIES["re10k"], 1)["cfg"] == 6.0
+    assert "cfg" not in cli_flags(ENTRIES["re10k"], 3)
+    # single-view camera-scale sweep: 20 values 0.1..2.0
+    sweep = cli_flags(ENTRIES["llff"], 1)["camera_scale_sweep"]
+    assert len(sweep) == 20 and sweep[0] == 0.1 and sweep[-1] == 2.0
+    # semi-dense T extension only at 32 views
+    assert "T" not in cli_flags(ENTRIES["dl3dv140"], 3)
+    assert cli_flags(ENTRIES["dl3dv140"], 32)["T"] == 90
+    assert cli_flags(ENTRIES["tnt-longlrm"], 32)["T"] == 80
+    # CO3D orbit prior + nearest-gt
+    f = cli_flags(ENTRIES["co3d"], 3)
+    assert f["use_traj_prior"] and f["traj_prior"] == "orbit"
+    assert f["chunk_strategy"] == "nearest-gt"

@@ -152,3 +152,53 @@ def test_data_parallel_sampler_matches_sequential(setup):
         dp = make_data_parallel_sampler(network_fn, mesh, T)
         out = dp(noises, pa, conds, keys)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=5e-4, rtol=1e-3)
+
+
+def test_sharded_joint_attention_is_ring(setup):
+    """Ring-integrated UNet: the sharded sampler matches the unsharded result
+    AND the compiled HLO rotates K/V with collective-permute (ring over ICI)
+    instead of relying solely on all-gather for the joint t*h*w attention
+    (VERDICT.md next-round item 4; capability point docs/CLI_USAGE.md:80-81)."""
+    from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
+
+    spec, _, noise, cond, plan = setup
+    T = spec.num_frames
+    mesh = make_mesh(n_data=1, n_view=8)
+
+    ring_unet = SevaUNet(
+        spec, dtype=jnp.float32, param_dtype=jnp.float32,
+        ring_mesh=mesh, ring_axis="view",
+    )
+    params = ring_unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2 * T, 16, 16, spec.in_channels)),
+        jnp.zeros((2 * T,), jnp.int32),
+        jnp.zeros((2 * T, 1, spec.context_dim)),
+        jnp.zeros((2 * T, 16, 16, spec.dense_in_channels)),
+        num_frames=T,
+    )["params"]
+    plain_unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    def ring_fn(x, concat, t_vec, crossattn, dense, num_frames):
+        return ring_unet.apply(
+            {"params": params}, assemble_network_input(x, concat),
+            t_vec, crossattn, dense, num_frames=num_frames,
+        )
+
+    def plain_fn(x, concat, t_vec, crossattn, dense, num_frames):
+        return plain_unet.apply(
+            {"params": params}, assemble_network_input(x, concat),
+            t_vec, crossattn, dense, num_frames=num_frames,
+        )
+
+    key = jax.random.PRNGKey(0)
+    ref = euler_edm_sample(
+        plain_fn, noise, plan_to_device(plan), cond, key, num_frames=T
+    )
+    with mesh:
+        sharded = make_sharded_sampler(ring_fn, mesh, T)
+        lowered = sharded.lower(noise, plan_to_device(plan), cond, key)
+        hlo = lowered.compile().as_text()
+        out = sharded(noise, plan_to_device(plan), cond, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+    assert "collective-permute" in hlo, "joint attention did not lower to a ring"
