@@ -119,6 +119,31 @@ class VaeApplier:
     def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
         return self._chunked(self._decode, self._decode_map, z, chunk_size)
 
+    def decode_async(self, z: jnp.ndarray, chunk_size: int | None = None):
+        """Device-to-device decode: accepts the denoiser's device array and
+        returns a device array WITHOUT host sync — lets the engine queue
+        chunk k's decode behind chunk k+1's denoise (chunk pipelining,
+        SURVEY.md §7 hard part 7; the reference serializes these,
+        eval.py:1317-1318)."""
+        n = z.shape[0]
+
+        def pad_to(x, m):
+            return (
+                jnp.pad(x, ((0, m - n),) + ((0, 0),) * (x.ndim - 1))
+                if m != n
+                else x
+            )
+
+        if not chunk_size or chunk_size >= n:
+            bucket = 1 << (n - 1).bit_length()
+            return self._decode(pad_to(z, bucket))[:n]
+        n_chunks = -(-n // chunk_size)
+        zs = pad_to(z, n_chunks * chunk_size).reshape(
+            (n_chunks, chunk_size) + z.shape[1:]
+        )
+        out = self._decode_map(zs)
+        return out.reshape((n_chunks * chunk_size,) + out.shape[2:])[:n]
+
 
 class ClipApplier:
     """Jitted CLIP image embedding (preprocess fused into the program)."""
@@ -172,9 +197,15 @@ def sample_chunk(
     latent_downsample: int = 8,
     progress_cb=None,
     abort_event=None,
+    defer: bool = False,
 ) -> np.ndarray | None:
     """One chunk's conditioning + denoising + decode
-    (reference seva/eval.py:1218-1321 `do_sample`)."""
+    (reference seva/eval.py:1218-1321 `do_sample`).
+
+    `defer=True` returns the decoded frames as a DEVICE array without host
+    sync, so the caller can dispatch the next chunk while this one finishes
+    (chunk pipelining — valid whenever chunks are independent, i.e. the
+    second pass)."""
     T, H, W = values.imgs.shape[0], values.imgs.shape[1], values.imgs.shape[2]
     h, w = H // latent_downsample, W // latent_downsample
     mask = values.input_frame_mask
@@ -220,7 +251,9 @@ def sample_chunk(
     )
     if x is None:
         return None
-    return bundle.vae.decode(np.asarray(x), decoding_t)
+    # decode consumes the denoiser's device array directly (no re-upload)
+    out = bundle.vae.decode_async(x, decoding_t)
+    return out if defer else np.asarray(out)
 
 
 def _resolve_guiders(guider_types) -> list[int]:
@@ -689,6 +722,23 @@ class SceneEngine:
             )
             all_samples = {}
             all_test_inds = []
+            pending: list = []  # 1-deep device pipeline (see defer=True below)
+
+            def _flush_second_pass_chunk(item):
+                samples_dev, i, c_test_sels, c_test_inds, curr = item
+                curr_imgs, _, curr_c2ws, curr_Ks = curr
+                samples = decode_output(np.asarray(samples_dev), T_second, c_test_sels)
+                if options.get("save_second_pass", False):
+                    save_output(
+                        replace_or_include_input_for_dict(
+                            samples, c_test_sels, curr_imgs, curr_c2ws, curr_Ks
+                        ),
+                        save_path=osp.join(save_path, "second-pass", f"forward_{i}"),
+                        video_save_fps=2,
+                    )
+                extend_dict(all_samples, samples)
+                all_test_inds.extend(c_test_inds)
+
             for i, (c_pri_inds, c_pri_sels, c_test_inds, c_test_sels) in enumerate(
                 zip(
                     plan2.input_inds_per_chunk,
@@ -731,7 +781,7 @@ class SceneEngine:
                     curr_Ks,
                     list(range(T_second)),
                 )
-                samples = sample_chunk(
+                samples_dev = sample_chunk(
                     bundle,
                     values,
                     num_steps=num_steps,
@@ -744,20 +794,18 @@ class SceneEngine:
                     latent_downsample=F,
                     abort_event=abort_event,
                     progress_cb=second_pass_pbar,
+                    # second-pass chunks depend only on the fixed anchors, so
+                    # chunk i's decode queues on-device behind chunk i+1's
+                    # denoise; the host materializes one chunk behind
+                    defer=True,
                 )
-                if samples is None:
+                if samples_dev is None:
                     return
-                samples = decode_output(samples, T_second, c_test_sels)
-                if options.get("save_second_pass", False):
-                    save_output(
-                        replace_or_include_input_for_dict(
-                            samples, c_test_sels, curr_imgs, curr_c2ws, curr_Ks
-                        ),
-                        save_path=osp.join(save_path, "second-pass", f"forward_{i}"),
-                        video_save_fps=2,
-                    )
-                extend_dict(all_samples, samples)
-                all_test_inds.extend(c_test_inds)
+                pending.append((samples_dev, i, c_test_sels, c_test_inds, curr))
+                if len(pending) > 1:
+                    _flush_second_pass_chunk(pending.pop(0))
+            while pending:
+                _flush_second_pass_chunk(pending.pop(0))
             all_samples = {
                 key: value[np.argsort(all_test_inds, kind="stable")]
                 for key, value in all_samples.items()

@@ -98,6 +98,31 @@ def attention_chunked(
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
+@jax.custom_vjp
+def flash_attention_trainable(q, k, v):
+    """Differentiable flash attention: the Pallas kernel runs the forward;
+    the backward RECOMPUTES attention with the O(L)-memory online-softmax
+    scan and differentiates through it (recompute-based custom_vjp — the
+    kernel itself has no bwd pass; this keeps training memory bounded at the
+    27k-token joint sequences while the forward stays on the fast kernel)."""
+    from stable_virtual_camera_tpu.ops import flash_attention as fa
+
+    return fa.flash_attention(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return flash_attention_trainable(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_chunked, q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+flash_attention_trainable.defvjp(_flash_fwd, _flash_bwd)
+
+
 @functools.partial(jax.named_call, name="sdpa")
 def scaled_dot_product_attention(
     q: jnp.ndarray,
@@ -113,7 +138,19 @@ def scaled_dot_product_attention(
         from stable_virtual_camera_tpu.ops import flash_attention as fa
 
         if fa.supported(q, k, v):
-            return fa.flash_attention(q, k, v)
+            import os
+
+            # default = JAX's upstream tuned kernel (measured faster in-context
+            # than ops/flash_attention: denoise 49.8s vs 51.7s, and its
+            # registered custom-vjp flash backward replaces the recompute
+            # fallback); SVC_UPSTREAM_FLASH=0 selects the in-repo kernel.
+            if os.environ.get("SVC_UPSTREAM_FLASH", "1") == "1":
+                from stable_virtual_camera_tpu.ops.flash_upstream import (
+                    flash_attention_upstream,
+                )
+
+                return flash_attention_upstream(q, k, v)
+            return flash_attention_trainable(q, k, v)
     if k.shape[1] > xla_max_seq:
         return attention_chunked(q, k, v)
     return attention_xla(q, k, v)

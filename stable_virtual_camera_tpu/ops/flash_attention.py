@@ -45,7 +45,11 @@ _GROUPING = os.environ.get("SVC_FLASH_GROUP", "0") == "1"
 K_INNER = 512 if _GROUPING else 2048  # score-chunk width per inner iteration;
 # 512 leaves VMEM room for G>1 (sub-chunking iterates over the same
 # VMEM-resident K/V slab, so width costs no extra DMA)
-_VMEM_BUDGET = 13 * 2**20  # bytes; ~16 MB/core minus Mosaic temporaries
+# Modeled-bytes budget for grouping decisions. Empirical: configs modeled at
+# 11 MB RESOURCE_EXHAUSTED on a real v5e core (the model undercounts Mosaic
+# temporaries ~1.5x); 6 MB-modeled configs run fine. 8 MB keeps the on-chip
+# verified G8/G4 configs and drops marginal ones to G=1.
+_VMEM_BUDGET = 8 * 2**20
 
 
 def _pick_block(n: int, candidates: tuple[int, ...], max_waste: float = 1.2) -> int:

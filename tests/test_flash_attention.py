@@ -113,3 +113,34 @@ def test_upsample_nearest_matches_torch():
         torch.from_numpy(np.moveaxis(x, -1, 1)), scale_factor=2, mode="nearest"
     ).numpy()
     np.testing.assert_allclose(ours, np.moveaxis(theirs, 1, -1))
+
+
+def test_flash_trainable_grads_match_xla():
+    """custom_vjp flash attention: forward == kernel, backward (recompute via
+    the chunked scan) == grads of plain einsum attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stable_virtual_camera_tpu.ops.attention import (
+        flash_attention_trainable,
+    )
+
+    rng = np.random.default_rng(3)
+    B, L, H, D = 1, 1280, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_trainable(q, k, v) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-4, rtol=1e-3, err_msg=name
+        )

@@ -24,7 +24,11 @@ def setup():
         model_channels=32, num_frames=8, num_head_channels=16, context_dim=64
     )
     T, h, w = spec.num_frames, 16, 16
-    unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+    # use_pallas=True exercises the trainable flash dispatch in the grad
+    # graph (tiny seqs fall back to einsum; the kernel itself is covered
+    # by test_flash_attention's interpret-mode grad check)
+    unet = SevaUNet(spec, dtype=jnp.float32, param_dtype=jnp.float32,
+                    use_pallas=True)
     params = unet.init(
         jax.random.PRNGKey(0),
         jnp.zeros((T, h, w, spec.in_channels)),
