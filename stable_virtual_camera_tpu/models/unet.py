@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
 from stable_virtual_camera_tpu.ops.attention import sdpa_packed
+from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
 from stable_virtual_camera_tpu.ops.resize import (
     resize_bilinear_align_corners,
     upsample_2x_conv3x3,
@@ -56,9 +57,29 @@ def timestep_embedding(
     return emb
 
 
+class _NormParams(nn.Module):
+    """scale/bias parameters under nn.GroupNorm's checkpoint naming."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in fp32, result cast back to the compute dtype —
-    the GroupNorm32 numerics contract (reference seva/modules/layers.py:61-63)."""
+    the GroupNorm32 numerics contract (reference seva/modules/layers.py:61-63).
+    Statistics via the lane-preserving ops/norms.group_norm_nhwc (the flax
+    strided-lane group reductions cost 174 ms/fwd at 1.3B scale,
+    docs/ARCHITECTURE.md round-2 journal)."""
 
     param_dtype: Dtype = jnp.float32
     eps: float = 1e-5
@@ -66,14 +87,10 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(
-            num_groups=self.groups,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-            name="gn",
-        )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        scale, bias = _NormParams(
+            x.shape[-1], param_dtype=self.param_dtype, name="gn"
+        )()
+        return group_norm_nhwc(x, scale, bias, self.groups, self.eps)
 
 
 class LayerNorm32(nn.Module):
@@ -126,6 +143,56 @@ class Attention(nn.Module):
             v = dense(inner, "to_v", False)(context)  # (B, 1, inner)
             out = dense(query_dim, "to_out", True)(v)
             return jnp.broadcast_to(out, x.shape[:-1] + (query_dim,))
+        L = x.shape[1]
+        if context is None and self.ring_axis is None and self.use_pallas:
+            import os
+
+            if (
+                os.environ.get("SVC_UPSTREAM_FLASH", "1") == "1"
+                and self.dim_head == 64
+                and L >= 1024
+            ):
+                # Layout-fused path for the upstream flash kernel: the qkv
+                # projection writes the kernel's native (B, H, L, D) layout
+                # straight from the GEMM epilogue (einsum 'blc,chd->bhld'),
+                # and to_out consumes (B, H, L, D) the same way — zero
+                # transpose ops around the kernel. Same params/naming as the
+                # Dense path (kernel (C, 3*inner), out (inner, C) + bias).
+                from stable_virtual_camera_tpu.models.common import DenseParams
+                from stable_virtual_camera_tpu.ops.flash_upstream import (
+                    flash_attention_upstream_bhld,
+                )
+
+                (w_qkv,) = DenseParams(
+                    (x.shape[-1], 3 * inner),
+                    use_bias=False,
+                    param_dtype=self.param_dtype,
+                    name="qkv",
+                )()
+                w3 = w_qkv.astype(self.dtype).reshape(
+                    x.shape[-1], 3, self.heads, self.dim_head
+                )
+                xq = x.astype(self.dtype)
+                q = jnp.einsum("blc,chd->bhld", xq, w3[:, 0])
+                k = jnp.einsum("blc,chd->bhld", xq, w3[:, 1])
+                v = jnp.einsum("blc,chd->bhld", xq, w3[:, 2])
+                o = flash_attention_upstream_bhld(q, k, v)  # (B, H, L, D)
+                w_out, b_out = DenseParams(
+                    (inner, query_dim),
+                    use_bias=True,
+                    param_dtype=self.param_dtype,
+                    name="to_out",
+                )()
+                return (
+                    jnp.einsum(
+                        "bhld,hdc->blc",
+                        o,
+                        w_out.astype(self.dtype).reshape(
+                            self.heads, self.dim_head, query_dim
+                        ),
+                    )
+                    + b_out.astype(self.dtype)
+                )
         if context is None:
             # Self-attention: fused qkv projection (wider-N matmuls).
             qkv = dense(3 * inner, "qkv", False)(x)

@@ -30,19 +30,21 @@ DOWNSAMPLE = 8
 
 
 class VaeGroupNorm(nn.Module):
+    """fp32-stats GroupNorm via the lane-preserving ops/norms kernel (see
+    models/unet.GroupNorm32)."""
+
     param_dtype: Dtype = jnp.float32
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(
-            num_groups=32,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-            name="gn",
-        )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        from stable_virtual_camera_tpu.models.unet import _NormParams
+        from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
+
+        scale, bias = _NormParams(
+            x.shape[-1], param_dtype=self.param_dtype, name="gn"
+        )()
+        return group_norm_nhwc(x, scale, bias, 32, self.eps)
 
 
 class VaeResnetBlock(nn.Module):

@@ -36,6 +36,51 @@ def _pick(n: int) -> int:
     return 128
 
 
+def flash_attention_upstream_bhld(
+    q: jnp.ndarray,  # (B, H, L, D) — the kernel's native layout
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Upstream kernel on already-(B, H, L, D) operands: no transposes, only
+    the pad-to-block + segment masking. Produce the layout for free by
+    fusing it into the projection GEMMs: einsum('blc,chd->bhld', x, W) writes
+    (B,H,L,D) in the matmul epilogue (models/unet.Attention does this)."""
+    B, H, L, D = q.shape
+    block = _pick(L)
+    L_pad = _round_up(L, block)
+
+    def padded(x):
+        if L_pad != L:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, L_pad - L), (0, 0)))
+        return x
+
+    qp, kp, vp = padded(q), padded(k), padded(v)
+    ids = (jnp.arange(L_pad) >= L).astype(jnp.int32)  # 0 = real, 1 = padding
+    seg = SegmentIds(
+        q=jnp.broadcast_to(ids, (B, L_pad)), kv=jnp.broadcast_to(ids, (B, L_pad))
+    )
+    sizes = BlockSizes(
+        block_q=block,
+        block_k_major=block,
+        block_k=block,
+        block_b=1,
+        block_q_major_dkv=block,
+        block_k_major_dkv=block,
+        block_k_dkv=block,
+        block_q_dkv=block,
+        block_k_major_dq=block,
+        block_k_dq=block,
+        block_q_dq=block,
+    )
+    out = _upstream(
+        qp, kp, vp,
+        segment_ids=seg,
+        sm_scale=float(D) ** -0.5,
+        block_sizes=sizes,
+    )  # (B, H, L_pad, D)
+    return out[:, :, :L]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def flash_attention_upstream(
     q: jnp.ndarray,  # (B, L, H, D)

@@ -144,3 +144,33 @@ def test_flash_trainable_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), atol=5e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_group_norm_matches_flax():
+    """ops/norms.group_norm_nhwc == flax nn.GroupNorm (fp32 two-pass) at
+    model-activation scales, including a mean-offset case that stresses the
+    E[x^2]-E[x]^2 form."""
+    import flax.linen as nn
+
+    from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
+
+    rng = np.random.default_rng(5)
+    for B, H, W, C, G, offset in [
+        (4, 9, 9, 320, 32, 0.0),
+        (2, 5, 5, 64, 32, 30.0),   # large common-mode offset
+        (3, 7, 7, 128, 32, -5.0),
+    ]:
+        x = (rng.normal(size=(B, H, W, C)) * 3 + offset).astype(np.float32)
+        gamma = rng.normal(size=(C,)).astype(np.float32)
+        beta = rng.normal(size=(C,)).astype(np.float32)
+        ref_mod = nn.GroupNorm(num_groups=G, epsilon=1e-5, dtype=jnp.float32)
+        ref = ref_mod.apply(
+            {"params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}},
+            jnp.asarray(x),
+        )
+        out = group_norm_nhwc(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), G, 1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
+        )
