@@ -110,8 +110,9 @@ def main() -> None:
         ).astype(s.dtype)
 
     vae_params = jax.tree_util.tree_map_with_path(fill, dec_shapes)
-    # decode all T frames in ONE dispatch: lax.map over chunks of 3
-    CHUNK = 3
+    # decode all T frames in ONE dispatch: lax.map over chunks of 7
+    # (measured 173 ms/frame at B=7 vs 207 at B=3, docs/ARCHITECTURE.md)
+    CHUNK = 7
     decode = jax.jit(
         lambda p, zs: jax.lax.map(
             lambda zc: vae.apply({"params": p}, zc, method=AutoEncoderKL.decode), zs

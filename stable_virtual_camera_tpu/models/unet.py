@@ -28,6 +28,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
@@ -124,7 +125,7 @@ class Attention(nn.Module):
     ring_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, time_frames: int | None = None):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
         dense = lambda n, name, bias: nn.Dense(  # noqa: E731
@@ -134,6 +135,28 @@ class Attention(nn.Module):
             param_dtype=self.param_dtype,
             name=name,
         )
+        if time_frames is not None:
+            # Temporal self-attention WITHOUT the (b*T,S,C)->(b*S,T,C)
+            # transpose: contract over the frame axis of the 5-D view with a
+            # batched einsum (batch = b, s, h; T is tiny, 21 — einsum beats
+            # any flash kernel here and XLA folds the layout into the
+            # surrounding matmuls).
+            B, S, C = x.shape
+            b = B // time_frames
+            qkv = dense(3 * inner, "qkv", False)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads_view(t):  # (b*T, S, inner) -> (b, T, S, H, D)
+                return t.reshape(b, time_frames, S, self.heads, self.dim_head)
+
+            q, k, v = heads_view(q), heads_view(k), heads_view(v)
+            s = jnp.einsum(
+                "bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32
+            ) * (self.dim_head**-0.5)
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            o = jnp.einsum("bshqk,bkshd->bqshd", p, v)
+            o = o.reshape(B, S, inner)
+            return dense(query_dim, "to_out", True)(o)
         if context is not None and context.shape[1] == 1:
             # Cross-attention over a SINGLE context token (this model's only
             # cross-attention shape: one pooled CLIP embedding per frame,
@@ -303,22 +326,26 @@ class TransformerBlockTimeMix(nn.Module):
             dim_out=dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
 
-        # (b*T, S, C) -> (b*S, T, C)
-        x = x.reshape(b, num_frames, S, C).transpose(0, 2, 1, 3).reshape(b * S, num_frames, C)
+        # All per-token ops (LN over C, FFs, projections) are layout-agnostic,
+        # so x STAYS in (b*T, S, C) — the reference's (b*S, T, C) transposes
+        # (transformer.py:149,154) never materialize. Only the temporal
+        # self-attention needs the T axis: Attention(time_frames=...) contracts
+        # over T with a batched einsum on the 5-D view.
         x = ff("ff_in", inner)(ln("norm_in")(x)) + x
-        x = Attention(**kw, name="attn1")(ln("norm1")(x)) + x
-        # cross-attention: evaluate on one row per group, broadcast to (b*S, T).
-        # norm2 params are created (checkpoint parity) but its output is
-        # unused — a single-token cross-attn output doesn't depend on x.
+        x = Attention(**kw, name="attn1")(
+            ln("norm1")(x), time_frames=num_frames
+        ) + x
+        # cross-attention: evaluate on one row per group, broadcast to all
+        # (T, S) tokens. norm2 params are created (checkpoint parity) but its
+        # output is unused — single-token cross-attn doesn't depend on x.
         ln("norm2")(jnp.zeros((1, 1, inner), x.dtype))
         cross = Attention(**kw, name="attn2")(
             jnp.zeros((b, 1, inner), x.dtype), time_context
         )  # (b, 1, C)
         x = x + jnp.broadcast_to(
-            cross[:, None], (b, S, 1, C)
-        ).reshape(b * S, 1, C)
+            cross[:, None], (b, num_frames, 1, C)
+        ).reshape(B, 1, C)
         x = ff("ff", C)(ln("norm3")(x))  # no residual (reference line 153)
-        x = x.reshape(b, S, num_frames, C).transpose(0, 2, 1, 3).reshape(B, S, C)
         return x
 
 
