@@ -131,7 +131,34 @@ def main() -> None:
         sync(out)
         t_decode = min(t_decode, time.perf_counter() - t0)
 
-    fps = T / (t_denoise + t_decode)
+    # conditioning stage (VAE-encode the input views + CLIP embed): the
+    # reference's do_sample runs this once per chunk (eval.py:1245-1248); it
+    # is small but part of the hot path — timed and included in the metric.
+    from stable_virtual_camera_tpu.models.clip import ClipVisionSpec, ClipVisionTower
+
+    enc = jax.jit(
+        lambda p, x: vae.apply({"params": p}, x, method=AutoEncoderKL.encode)
+    )
+    clip_spec = ClipVisionSpec()
+    clip = ClipVisionTower(clip_spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    clip_shapes = jax.eval_shape(
+        lambda: clip.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))[
+            "params"
+        ]
+    )
+    clip_params = jax.tree_util.tree_map_with_path(fill, clip_shapes)
+    embed = jax.jit(lambda p, x: clip.apply({"params": p}, x))
+    img = jax.random.uniform(key, (1, H, W, 3), jnp.float32) * 2 - 1
+    img224 = jax.random.uniform(key, (1, 224, 224, 3), jnp.float32)
+    sync(enc(vae_params, img)); sync(embed(clip_params, img224))  # compile
+    t_cond = float("inf")
+    for i in (1, 2):
+        t0 = time.perf_counter()
+        sync(enc(vae_params, img * (1 + 0.001 * i)))
+        sync(embed(clip_params, img224 * (1 + 0.001 * i)))
+        t_cond = min(t_cond, time.perf_counter() - t0)
+
+    fps = T / (t_denoise + t_decode + t_cond)
     print(
         json.dumps(
             {
@@ -142,6 +169,7 @@ def main() -> None:
                 "detail": {
                     "t_denoise_s": round(t_denoise, 3),
                     "t_decode_s": round(t_decode, 3),
+                    "t_cond_s": round(t_cond, 3),
                     "device": str(jax.devices()[0]),
                 },
             }

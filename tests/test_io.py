@@ -60,3 +60,48 @@ def test_orbax_converted_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(back["vae"]["conv"]["bias"], tree["vae"]["conv"]["bias"])
     np.testing.assert_allclose(back["clip"]["proj"], tree["clip"]["proj"])
+
+
+def test_lowvram_offload_roundtrip():
+    """lowvram mode (VaeApplier/ClipApplier lowvram=True) keeps weights in
+    host RAM (numpy leaves, not device arrays) and still produces the exact
+    same outputs — the TPU analogue of the reference's stage-wise
+    load/unload_model (seva/eval.py:325-341); VERDICT.md Weak #7."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_virtual_camera_tpu.engine.runner import VaeApplier, ClipApplier
+    from stable_virtual_camera_tpu.models.clip import ClipVisionSpec, ClipVisionTower
+    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
+
+    rng = np.random.default_rng(0)
+    vae = AutoEncoderKL(dtype=jnp.float32, param_dtype=jnp.float32)
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    hot = VaeApplier(vae, vae_params)
+    cold = VaeApplier(vae, vae_params, lowvram=True)
+    # offloaded leaves are host arrays
+    leaves_hot = jax.tree_util.tree_leaves(hot.params)
+    leaves_cold = jax.tree_util.tree_leaves(cold.params)
+    assert any(isinstance(leaf, jax.Array) for leaf in leaves_hot)
+    assert all(isinstance(leaf, np.ndarray) for leaf in leaves_cold)
+
+    imgs = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_array_equal(hot.encode(imgs), cold.encode(imgs))
+    z = rng.normal(size=(2, 4, 4, 4)).astype(np.float32)
+    np.testing.assert_array_equal(hot.decode(z), cold.decode(z))
+
+    spec = ClipVisionSpec.tiny()
+    clip = ClipVisionTower(spec, dtype=jnp.float32, param_dtype=jnp.float32)
+    sz = spec.image_size
+    clip_params = clip.init(jax.random.PRNGKey(1), jnp.zeros((1, sz, sz, 3)))[
+        "params"
+    ]
+    hot_c = ClipApplier(clip, clip_params)
+    cold_c = ClipApplier(clip, clip_params, lowvram=True)
+    assert all(
+        isinstance(leaf, np.ndarray)
+        for leaf in jax.tree_util.tree_leaves(cold_c.params)
+    )
+    imgs2 = rng.uniform(-1, 1, size=(3, sz, sz, 3)).astype(np.float32)
+    np.testing.assert_array_equal(hot_c.embed(imgs2), cold_c.embed(imgs2))
