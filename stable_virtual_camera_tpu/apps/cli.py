@@ -218,19 +218,28 @@ def _default_options() -> EngineOptions:
     )
 
 
-def _build_bundle(checkpoint_dir, random_model, use_pallas=True):
+def _build_bundle(checkpoint_dir, random_model, use_pallas=True, mesh_view=None):
     from stable_virtual_camera_tpu.models import io as mio
 
+    mesh = None
+    if mesh_view and int(mesh_view) > 1:
+        # frames shard over the 'view' axis inside every sampling program
+        # (sampling/sampler.UNetDenoiser; requires T % mesh_view == 0 per
+        # bucket, else that bucket silently runs unsharded)
+        from stable_virtual_camera_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_view=int(mesh_view))
+        print(f"[cli] view-sharded sampling over {mesh_view} devices")
     if random_model:
         print("[cli] --random_model: tiny randomly initialized bundle (smoke mode)")
-        return mio.random_bundle(), True
+        return mio.random_bundle(mesh=mesh), True
     if checkpoint_dir is None:
         raise SystemExit(
             "Provide --checkpoint_dir with converted weights "
             "(model.safetensors / vae.safetensors / clip.safetensors) "
             "or --random_model for a smoke run."
         )
-    return mio.load_bundle(checkpoint_dir, use_pallas=use_pallas), False
+    return mio.load_bundle(checkpoint_dir, use_pallas=use_pallas, mesh=mesh), False
 
 
 def main(
@@ -245,9 +254,23 @@ def main(
     checkpoint_dir=None,
     random_model=False,
     work_dir=WORK_DIR,
+    mesh_view=None,
+    platform=None,
     **overwrite_options,
 ):
-    bundle, is_tiny = _build_bundle(checkpoint_dir, random_model)
+    if platform is not None:
+        # flip the backend BEFORE any device use. Gotcha on this stack: with
+        # JAX_PLATFORMS=cpu in the env the CPU client initializes before
+        # XLA_FLAGS' host-device count applies; leaving the env unset and
+        # selecting the platform here honors the flag — the route for
+        # simulating --mesh_view N on CPU:
+        #   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        #     python -m ...cli --platform cpu --mesh_view 4 ...
+        import jax
+
+        jax.config.update("jax_platforms", str(platform))
+    bundle, is_tiny = _build_bundle(checkpoint_dir, random_model,
+                                    mesh_view=mesh_view)
     version = VersionConfig()
     if is_tiny:
         version = VersionConfig(H=64, W=64, T=bundle.spec.num_frames)

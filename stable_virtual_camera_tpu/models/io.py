@@ -87,8 +87,11 @@ def random_bundle(
     param_dtype=jnp.float32,
     use_pallas: bool = False,
     seed: int = 0,
+    mesh=None,
 ):
-    """Randomly initialized ModelBundle (tests / smoke runs / benchmarks)."""
+    """Randomly initialized ModelBundle (tests / smoke runs / benchmarks).
+    `mesh`: optional ('data','view') Mesh — the denoiser's sampling programs
+    shard frames over the 'view' axis (sampling/sampler.UNetDenoiser)."""
     from stable_virtual_camera_tpu.engine.runner import (
         ClipApplier,
         ModelBundle,
@@ -126,7 +129,7 @@ def random_bundle(
 
     return ModelBundle(
         spec=spec,
-        denoiser=UNetDenoiser(unet, unet_params),
+        denoiser=UNetDenoiser(unet, unet_params, mesh=mesh),
         vae=VaeApplier(vae, vae_params),
         clip=ClipApplier(clip, clip_params),
         discretization=DDPMDiscretization(),
@@ -140,6 +143,7 @@ def load_bundle(
     dtype=jnp.bfloat16,
     param_dtype=jnp.bfloat16,
     use_pallas: bool = True,
+    mesh=None,
 ):
     """Load a full pretrained bundle from a directory holding either the
     three torch safetensors checkpoints (model/vae/clip) or a converted
@@ -172,7 +176,7 @@ def load_bundle(
         )
     return ModelBundle(
         spec=spec,
-        denoiser=UNetDenoiser(unet, unet_params),
+        denoiser=UNetDenoiser(unet, unet_params, mesh=mesh),
         vae=VaeApplier(vae, vae_params),
         clip=ClipApplier(clip, clip_params),
         discretization=DDPMDiscretization(),

@@ -191,10 +191,49 @@ class UNetDenoiser:
     """Binds SevaUNet params into a `network_fn` and jit-caches the full
     sampling program per (T, h, w, steps) shape bucket."""
 
-    def __init__(self, unet_module, params):
+    def __init__(self, unet_module, params, mesh=None):
+        """`mesh` (jax.sharding.Mesh with a 'view' axis) turns every sampling
+        program into a view-sharded pjit: frames distribute over the axis,
+        params replicate, and the joint-attention collectives ride ICI
+        (parallel/sharding.py semantics, engine-integrated). Buckets whose T
+        does not divide the axis fall back to single-device jit."""
         self.unet = unet_module
         self.params = params
+        self.mesh = mesh
         self._jitted: dict[tuple, Callable] = {}
+
+    def _maybe_shard(self, fn, T: int, has_per_step: bool):
+        """jit `fn(params, x, plan/per_step, cond, key)` with view shardings
+        when the mesh applies to this T."""
+        if self.mesh is None or T % self.mesh.shape.get("view", 1) != 0:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        vs = lambda rank: NamedSharding(  # noqa: E731
+            mesh, P("view", *([None] * (rank - 1)))
+        )
+        scalar = NamedSharding(mesh, P())
+        params_sh = jax.tree_util.tree_map(lambda _: scalar, self.params)
+        cond_sh = ChunkConditioning(
+            crossattn=vs(3), concat=vs(4), dense=vs(4), replace=vs(4), scale=vs(1)
+        )
+        plan_sh = (
+            (scalar,) * 5
+            if has_per_step
+            else {
+                k: scalar
+                for k in (
+                    "sigma_hat_raw", "sigma_hat_quant", "t_indices",
+                    "sigma_next", "noise_coeff", "init_scale",
+                )
+            }
+        )
+        return jax.jit(
+            fn,
+            in_shardings=(params_sh, vs(4), plan_sh, cond_sh, scalar),
+            out_shardings=vs(4),
+        )
 
     def network_with_params(self, params, x, concat, t_vec, crossattn, dense, num_frames):
         from stable_virtual_camera_tpu.models.unet import assemble_network_input
@@ -248,7 +287,7 @@ class UNetDenoiser:
                         num_frames=_T,
                     )
 
-                self._jitted[bucket] = jax.jit(run)
+                self._jitted[bucket] = self._maybe_shard(run, T, has_per_step=False)
             return self._jitted[bucket](
                 self.params, noise, plan_to_device(plan), cond, key
             )
@@ -266,7 +305,9 @@ class UNetDenoiser:
                     num_frames=_T,
                 )
 
-            self._jitted[bucket] = jax.jit(run_step)
+            self._jitted[bucket] = self._maybe_shard(
+                run_step, T, has_per_step=True
+            )
         _step_inner = self._jitted[bucket]
         step_fn = lambda x, per_step, cond, key: _step_inner(  # noqa: E731
             self.params, x, per_step, cond, key

@@ -202,3 +202,62 @@ def test_sharded_joint_attention_is_ring(setup):
         out = sharded(noise, plan_to_device(plan), cond, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
     assert "collective-permute" in hlo, "joint attention did not lower to a ring"
+
+
+def test_engine_mesh_integration(tmp_path):
+    """ModelBundle with a ('data','view') mesh: the engine's sampling
+    programs shard frames over 'view' (sampling/sampler.UNetDenoiser) and
+    produce the same scene outputs as the unsharded engine — the CLI's
+    --mesh_view path."""
+    import os.path as osp
+
+    from conftest import random_c2ws
+    from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+    from stable_virtual_camera_tpu.models.io import random_bundle
+
+    def run(mesh, subdir):
+        bundle = random_bundle(image_hw=(64, 64), mesh=mesh)
+        T = bundle.spec.num_frames
+        rng = np.random.default_rng(0)
+        n = 5
+        imgs = (rng.uniform(0, 255, size=(n, 64, 64, 3))).astype(np.uint8)
+        c2ws = random_c2ws(rng, n).astype(np.float32)[:, :3]
+        Ks = np.repeat(
+            np.array([[1.2, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)[None],
+            n, 0,
+        )
+        version = VersionConfig(H=64, W=64, T=T)
+        options = EngineOptions().update(dict(
+            num_steps=2, cfg=2.0, guider_types=1, chunk_strategy="nearest-gt",
+            sampler_verbose=False, video_save_fps=5.0, encoding_t=0, decoding_t=0,
+        ))
+        engine = SceneEngine(bundle, version, options)
+        gen = engine.run_one_scene(
+            "img2img",
+            {"img": [im for im in imgs], "input_indices": [0, 1]},
+            {"c2w": c2ws, "K": [k for k in Ks],
+             "input_indices": list(range(n))},
+            save_path=str(tmp_path / subdir),
+            use_traj_prior=False,
+            seed=3,
+        )
+        videos = list(gen)
+        assert videos
+        import cv2
+
+        cap = cv2.VideoCapture(osp.join(str(tmp_path / subdir), "samples-rgb.mp4"))
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        return np.stack(frames)
+
+    base = run(None, "plain")
+    mesh = make_mesh(n_data=1, n_view=3)  # tiny spec T=3
+    sharded = run(mesh, "sharded")
+    # mp4 round trip is lossy; compare decoded frames with a loose budget
+    assert base.shape == sharded.shape
+    assert np.mean(np.abs(base.astype(int) - sharded.astype(int))) < 2.0
