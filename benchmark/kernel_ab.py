@@ -5,9 +5,14 @@ dispatches and block_until_ready is unreliable — every timed call gets a
 distinct input and synchronizes via a host transfer; report min over repeats.
 
 Compares, per UNet attention shape:
-  old    — round-1 kernel, (B*H, L, D) layout INCLUDING its entry/exit
-           transposes (that is what the model paid),
-  packed — head-packed kernel on (B, L, H*64) directly.
+  old      — in-repo kernel, (B*H, L, D) layout INCLUDING its entry/exit
+             transposes (that is what the model paid),
+  upstream — JAX's tuned kernel via the ops/flash_upstream adapter
+             (the current default), (B, L, H, D) in,
+  packed   — head-packed kernel on (B, L, H*64) directly (opt-in).
+
+NOTE: standalone numbers here carry the ~35-40 ms relay dispatch floor —
+only end-to-end bench.py comparisons decide (docs/ARCHITECTURE.md).
 
 Usage: python benchmark/kernel_ab.py [--dtype bf16]
 """
@@ -25,6 +30,7 @@ import numpy as np
 
 from stable_virtual_camera_tpu.ops import flash_attention as fa
 from stable_virtual_camera_tpu.ops import flash_attention_packed as fap
+from stable_virtual_camera_tpu.ops import flash_upstream as fau
 
 # (name, B, L, heads) — SURVEY.md §3.4 per-fwd attention shapes at 576²,
 # CFG-doubled batch (2T = 42 frames per group of 21)
@@ -70,8 +76,8 @@ def main(dtype=jnp.bfloat16):
 
         variants = {
             "old": jax.jit(lambda q, k, v: fa.flash_attention(q, k, v)),
-            "strided": jax.jit(
-                lambda q, k, v: fa.flash_attention_strided(q, k, v, heads=H)
+            "upstream": jax.jit(
+                lambda q, k, v: fau.flash_attention_upstream(q, k, v)
             ),
             "packed": jax.jit(
                 lambda q, k, v: fap.flash_attention_packed(q, k, v, heads=H)
@@ -80,7 +86,7 @@ def main(dtype=jnp.bfloat16):
         flops = 4 * B * L * L * W
         row = [f"{name:10s} B{B} L{L} H{H}:"]
         for vname, fn in variants.items():
-            inputs = old_inputs if vname == "old" else packed_inputs
+            inputs = packed_inputs if vname == "packed" else old_inputs
             try:
                 sync(fn(*inputs[3]))  # compile
                 t = time_min(fn, inputs)
