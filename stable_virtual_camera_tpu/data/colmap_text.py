@@ -5,8 +5,8 @@ package's `SceneManager` (reference seva/data_io.py:139-147), which is not
 bundled in this image. This module implements the subset of that API that
 `COLMAPParser` consumes, for text-format models (cameras.txt / images.txt /
 points3D.txt — the `colmap model_converter --output_type TXT` layout), so
-COLMAP workflows run with zero native dependencies. Binary models still
-route through pycolmap when it is installed (data/parsers.py).
+COLMAP workflows run with zero native dependencies. Binary models parse
+natively too (data/colmap_binary.py).
 
 Format reference: https://colmap.github.io/format.html (public spec).
 """

@@ -6,10 +6,9 @@ Field-contract parity with reference seva/data_io.py:29-428 (`BaseParser`,
 shapes and conventions (OpenCV c2ws; reconfusion transforms.json is OpenGL and
 gets its y/z columns flipped; per-split train/test id files keyed by #inputs).
 
-COLMAP text-format models parse with zero native dependencies
-(data/colmap_text.py); binary models use pycolmap when installed, with a
-clear error otherwise (the reference requires pycolmap for both,
-data_io.py:139-145).
+COLMAP models parse with zero native dependencies in both encodings:
+text via data/colmap_text.py, binary via data/colmap_binary.py (the
+reference requires the pycolmap bindings for either, data_io.py:139-145).
 """
 
 from __future__ import annotations
@@ -214,20 +213,20 @@ class COLMAPParser(BaseParser):
         super().__init__(data_dir, factor, normalize, test_every)
         colmap_dir = os.path.join(data_dir, colmap_folder)
         assert os.path.exists(colmap_dir), f"COLMAP directory {colmap_dir} missing."
+        from stable_virtual_camera_tpu.data.colmap_binary import BinarySceneManager
         from stable_virtual_camera_tpu.data.colmap_text import TextSceneManager
 
+        # both COLMAP encodings parse with zero native dependencies (the
+        # reference needs pycolmap bindings for either, data_io.py:139-147)
         if TextSceneManager.is_text_model(colmap_dir):
-            # text models need no native dependency (data/colmap_text.py)
             SceneManager = TextSceneManager
+        elif BinarySceneManager.is_binary_model(colmap_dir):
+            SceneManager = BinarySceneManager
         else:
-            try:
-                from pycolmap import SceneManager
-            except ImportError as e:
-                raise ImportError(
-                    "pycolmap is required for binary COLMAP models (text models "
-                    "parse without it; convert with `colmap model_converter "
-                    "--output_type TXT`)"
-                ) from e
+            raise FileNotFoundError(
+                f"No COLMAP model found in {colmap_dir}: expected cameras.txt "
+                "(text) or cameras.bin (binary)"
+            )
 
         manager = SceneManager(colmap_dir)
         manager.load_cameras()

@@ -7,21 +7,20 @@ spatial) to ~27k tokens (the joint t*h*w multiview sequence at ds2,
 SURVEY.md §3.4).
 
 Design (measurements in docs/ARCHITECTURE.md):
-  * layout (B*H, L, D); 3-D grid (bh_group, q_block, k_dma_block). The kernel
-    is pipeline/DMA-step-bound on this stack (a trivial body costs the same
-    as the full one), so each grid step streams LARGE blocks two ways:
-      - a big K/V slab (up to 4096 rows) processed by an in-kernel fori loop
-        in 2048-wide sub-chunks (measured 2-3.8x over one-block-per-step),
-      - G (batch*head) rows at once — blocks (G, q_block, D) are contiguous
-        in the (B*H, L, D) array, so one DMA feeds G heads and the grid
-        shrinks G-fold (round-2 addition; G picked per-shape to divide B*H
-        under the VMEM budget).
+  * layout (B*H, L, D); 3-D grid (bh, q_block, k_dma_block). Each grid step
+    streams a big K/V slab (up to 4096 rows) processed by an in-kernel fori
+    loop in 2048-wide sub-chunks (measured 2-3.8x over one-block-per-step).
   * online softmax in base 2 (log2(e) folded into the scale; exp2 is ~1.8x
     cheaper than exp on the VPU), running (acc, m, l) in VMEM scratch mutated
     by the inner loop, fp32 accumulation, bf16 probabilities for the PV
     matmul.
   * tail masking with broadcasted_iota against the true sequence length
     (grid is cdiv-padded); output block written on the last k step.
+
+A head-grouping variant (G (batch*head) rows per grid step) was explored in
+round 2 and removed: its only VMEM-safe configs LOST end-to-end (0.333 vs
+0.380 f/s) and the aggressive ones faulted a real TPU worker — see
+docs/ARCHITECTURE.md "Round-2 journal".
 """
 
 from __future__ import annotations
@@ -35,21 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # softmax in base 2: exp(x) == exp2(x * log2(e))
-import os
-
-# Head-grouping (G > 1) cut grid steps 2-8x in block-selection math, but the
-# first compiled run FAULTED the TPU worker (bench r2, under investigation) —
-# opt-in via SVC_FLASH_GROUP=1 until root-caused. Default = the proven
-# round-1 configuration (G=1, 2048-wide score sub-chunks).
-_GROUPING = os.environ.get("SVC_FLASH_GROUP", "0") == "1"
-K_INNER = 512 if _GROUPING else 2048  # score-chunk width per inner iteration;
-# 512 leaves VMEM room for G>1 (sub-chunking iterates over the same
-# VMEM-resident K/V slab, so width costs no extra DMA)
-# Modeled-bytes budget for grouping decisions. Empirical: configs modeled at
-# 11 MB RESOURCE_EXHAUSTED on a real v5e core (the model undercounts Mosaic
-# temporaries ~1.5x); 6 MB-modeled configs run fine. 8 MB keeps the on-chip
-# verified G8/G4 configs and drops marginal ones to G=1.
-_VMEM_BUDGET = 8 * 2**20
+K_INNER = 2048  # score-chunk width per inner iteration; sub-chunking iterates
+# over the same VMEM-resident K/V slab, so width costs no extra DMA
 
 
 def _pick_block(n: int, candidates: tuple[int, ...], max_waste: float = 1.2) -> int:
@@ -64,28 +50,9 @@ def _pick_block(n: int, candidates: tuple[int, ...], max_waste: float = 1.2) -> 
     return min(candidates, key=waste)
 
 
-def _vmem_bytes(G: int, q_block: int, k_dma: int, D: int, itemsize: int) -> int:
-    kv = 2 * 2 * G * k_dma * D * itemsize       # k + v, double-buffered
-    q_out = 2 * 2 * G * q_block * D * itemsize  # q + out, double-buffered
-    acc = G * q_block * D * 4
-    ml = 2 * G * q_block * 128 * 4
-    scores = q_block * min(k_dma, K_INNER) * 4  # one live per (g, inner) step
-    return kv + q_out + acc + ml + scores
-
-
-def _pick_group(BH: int, q_block: int, k_dma: int, D: int, itemsize: int) -> int:
-    """Largest G in {8,4,2,1} dividing B*H that fits the VMEM budget."""
-    if not _GROUPING:
-        return 1
-    for G in (8, 4, 2, 1):
-        if BH % G == 0 and _vmem_bytes(G, q_block, k_dma, D, itemsize) <= _VMEM_BUDGET:
-            return G
-    return 1
-
-
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, seq_len: int, scale: float, k_dma: int, k_inner: int, group: int
+    *, seq_len: int, scale: float, k_dma: int, k_inner: int
 ):
     j = pl.program_id(2)
     num_k_blocks = pl.num_programs(2)
@@ -103,39 +70,37 @@ def _flash_kernel(
             + jax.lax.broadcasted_iota(jnp.int32, (1, k_inner), 1)
         )
         key_mask = key_ids < seq_len
-        for g in range(group):  # G (batch*head) rows share this step's DMA
-            q = q_ref[g]  # (q_block, D) — MXU contracts bf16, fp32 accum
-            k = k_ref[g, pl.ds(i * k_inner, k_inner), :]
-            v = v_ref[g, pl.ds(i * k_inner, k_inner), :]
-            s = (
-                jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )  # (q_block, k_inner), already in the exp2 domain
-            s = jnp.where(key_mask, s, NEG_INF)
-
-            m_prev = m_ref[g, :, :1]
-            l_prev = l_ref[g, :, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp2(s - m_new)
-            corr = jnp.exp2(m_prev - m_new)
-            l_ref[g, :, :1] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc_ref[g] = acc_ref[g] * corr + jax.lax.dot_general(
-                p.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+        q = q_ref[0]  # (q_block, D) — MXU contracts bf16, fp32 accum
+        k = k_ref[0, pl.ds(i * k_inner, k_inner), :]
+        v = v_ref[0, pl.ds(i * k_inner, k_inner), :]
+        s = (
+            jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_ref[g, :, :1] = m_new
+            * scale
+        )  # (q_block, k_inner), already in the exp2 domain
+        s = jnp.where(key_mask, s, NEG_INF)
+
+        m_prev = m_ref[0, :, :1]
+        l_prev = l_ref[0, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m_prev - m_new)
+        l_ref[0, :, :1] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[0] = acc_ref[0] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, :, :1] = m_new
         return 0
 
     jax.lax.fori_loop(0, k_dma // k_inner, inner, 0)
 
     @pl.when(j == num_k_blocks - 1)
     def _():
-        for g in range(group):
-            o_ref[g] = (acc_ref[g] / l_ref[g, :, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[0] / l_ref[0, :, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,7 +132,6 @@ def flash_attention(
     q_block = _pick_block(L, (256, 512, 1024))
     k_dma = _pick_block(S, (512, 1024, 2048, 4096))
     k_inner = min(k_dma, K_INNER)
-    G = _pick_group(B * H, q_block, k_dma, D, q.dtype.itemsize)
     L_pad = _round_up(L, q_block)
     S_pad = _round_up(S, k_dma)
 
@@ -181,32 +145,31 @@ def flash_attention(
     kb = to_bh(k, S, S_pad)
     vb = to_bh(v, S, S_pad)
 
-    grid = (B * H // G, L_pad // q_block, S_pad // k_dma)
+    grid = (B * H, L_pad // q_block, S_pad // k_dma)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, seq_len=S, scale=scale, k_dma=k_dma,
-            k_inner=k_inner, group=G,
+            _flash_kernel, seq_len=S, scale=scale, k_dma=k_dma, k_inner=k_inner,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (G, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+                (1, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, k_dma, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+                (1, k_dma, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, k_dma, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+                (1, k_dma, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (G, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            (1, q_block, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, L_pad, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((G, q_block, D), jnp.float32),  # acc
-            pltpu.VMEM((G, q_block, 128), jnp.float32),  # running max (col 0)
-            pltpu.VMEM((G, q_block, 128), jnp.float32),  # running sum (col 0)
+            pltpu.VMEM((1, q_block, D), jnp.float32),  # acc
+            pltpu.VMEM((1, q_block, 128), jnp.float32),  # running max (col 0)
+            pltpu.VMEM((1, q_block, 128), jnp.float32),  # running sum (col 0)
         ],
         interpret=interpret,
     )(qb, kb, vb)

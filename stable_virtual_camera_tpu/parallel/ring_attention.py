@@ -67,9 +67,11 @@ def ring_attention(
     B, L, H, _ = q.shape
     # mark the initial carry as varying over the ring axis so scan's carry
     # types stay consistent once q/k/v (device-varying) mix in
-    acc0 = lax.pvary(jnp.zeros((B, H, L, D), jnp.float32), (axis_name,))
-    m0 = lax.pvary(jnp.full((B, H, L), -jnp.inf, jnp.float32), (axis_name,))
-    l0 = lax.pvary(jnp.zeros((B, H, L), jnp.float32), (axis_name,))
+    acc0 = lax.pcast(jnp.zeros((B, H, L, D), jnp.float32), (axis_name,), to="varying")
+    m0 = lax.pcast(
+        jnp.full((B, H, L), -jnp.inf, jnp.float32), (axis_name,), to="varying"
+    )
+    l0 = lax.pcast(jnp.zeros((B, H, L), jnp.float32), (axis_name,), to="varying")
     (acc, m, l, _, _), _ = lax.scan(step, (acc0, m0, l0, k, v), None, length=n)
     out = acc / l[..., None]
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)

@@ -17,6 +17,8 @@ TPU-native design:
 
 from __future__ import annotations
 
+import itertools
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
@@ -29,6 +31,76 @@ from stable_virtual_camera_tpu.sampling.discretization import (
     DDPMDiscretization,
     sigma_to_idx,
 )
+
+# ---------------------------------------------------------------------------
+# In-scan host callbacks (progress + abort)
+#
+# The reference's GradioTrackedSampler (seva/eval.py:1037-1089) updates a
+# progress bar and polls a threading.Event per sigma step from its Python
+# loop. Here the whole loop is ONE jitted scan, so per-step host contact goes
+# through `jax.experimental.io_callback` instead: each step emits
+# (step, total) to a registered host callback and reads back an abort flag
+# that gates the remaining steps' compute via `lax.cond` (the scan still runs
+# to completion, but aborted steps skip the network call). The jitted program
+# receives only an integer HANDLE, so one compiled program serves every
+# chunk / GUI session.
+# ---------------------------------------------------------------------------
+
+_CB_REGISTRY: dict[int, tuple[Callable | None, Any]] = {}
+_CB_COUNTER = itertools.count(1)
+
+
+def register_tick(progress_cb, abort_event) -> int:
+    handle = next(_CB_COUNTER)
+    _CB_REGISTRY[handle] = (progress_cb, abort_event)
+    return handle
+
+
+def unregister_tick(handle: int) -> None:
+    _CB_REGISTRY.pop(int(handle), None)
+
+
+def _host_tick(handle, step, total) -> np.bool_:
+    cb, ev = _CB_REGISTRY.get(int(handle), (None, None))
+    if cb is not None:
+        cb(int(step), int(total))
+    return np.bool_(ev is not None and ev.is_set())
+
+
+_IO_CALLBACK_OK: dict[str, bool] = {}
+
+
+def io_callback_supported() -> bool:
+    """Whether ordered `io_callback` works on the default backend.
+
+    CPU and real TPU/GPU backends support host callbacks; the axon TPU *relay*
+    HANGS on them (measured: a trivial ordered-io_callback jit never returns),
+    and a hang is strictly worse than the stepwise fallback — so unknown
+    platforms are out unless SVC_IN_SCAN_TICK=1 forces the probe."""
+    platform = jax.default_backend()
+    if platform in _IO_CALLBACK_OK:
+        return _IO_CALLBACK_OK[platform]
+    forced = os.environ.get("SVC_IN_SCAN_TICK")
+    if forced == "0":
+        return False
+    if forced != "1" and platform not in ("cpu", "tpu", "gpu", "cuda", "rocm"):
+        return False
+    try:
+        from jax.experimental import io_callback
+
+        def probe(x):
+            flag = io_callback(
+                lambda v: np.bool_(v > 0),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                x,
+                ordered=True,
+            )
+            return jnp.where(flag, x, -x)
+
+        _IO_CALLBACK_OK[platform] = bool(jax.jit(probe)(jnp.int32(1)) == 1)
+    except Exception:  # pragma: no cover - platform-dependent
+        _IO_CALLBACK_OK[platform] = False
+    return _IO_CALLBACK_OK[platform]
 
 
 @dataclass(frozen=True)
@@ -115,28 +187,69 @@ def euler_edm_sample(
     cond: ChunkConditioning,
     key: jax.Array,
     num_frames: int,
+    tick_handle: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The jittable sampling loop. `plan_arrays` holds the SamplingPlan fields
-    as device arrays plus 'init_scale' (scalar)."""
+    as device arrays plus 'init_scale' (scalar).
+
+    `tick_handle` (int32 scalar, see `register_tick`) enables per-step host
+    contact from INSIDE the scan: progress via ordered io_callback and an
+    abort flag that short-circuits the remaining steps' network calls — the
+    single-dispatch replacement for the reference's per-step Python loop
+    (GradioTrackedSampler, seva/eval.py:1037-1089)."""
     T = num_frames
     x = noise * plan_arrays["init_scale"]
+    schedule = (
+        plan_arrays["sigma_hat_raw"],
+        plan_arrays["sigma_hat_quant"],
+        plan_arrays["t_indices"],
+        plan_arrays["sigma_next"],
+        plan_arrays["noise_coeff"],
+    )
 
-    def step(carry, per_step):
-        x, key = carry
+    if tick_handle is None:
+
+        def step(carry, per_step):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            x = euler_edm_step(network_fn, x, per_step, cond, sub, num_frames=T)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), schedule)
+        return x
+
+    from jax.experimental import io_callback
+
+    n_steps = schedule[0].shape[0]
+
+    def tracked_step(carry, xs):
+        x, key, aborted = carry
+        i, per_step = xs
         key, sub = jax.random.split(key)
-        x = euler_edm_step(network_fn, x, per_step, cond, sub, num_frames=T)
-        return (x, key), None
+        x = jax.lax.cond(
+            aborted,
+            lambda x, *_: x,
+            lambda x, per_step, sub: euler_edm_step(
+                network_fn, x, per_step, cond, sub, num_frames=T
+            ),
+            x,
+            per_step,
+            sub,
+        )
+        flag = io_callback(
+            _host_tick,
+            jax.ShapeDtypeStruct((), jnp.bool_),
+            tick_handle,
+            i + 1,
+            n_steps,
+            ordered=True,
+        )
+        return (x, key, aborted | flag), None
 
-    (x, _), _ = jax.lax.scan(
-        step,
-        (x, key),
-        (
-            plan_arrays["sigma_hat_raw"],
-            plan_arrays["sigma_hat_quant"],
-            plan_arrays["t_indices"],
-            plan_arrays["sigma_next"],
-            plan_arrays["noise_coeff"],
-        ),
+    (x, _, _), _ = jax.lax.scan(
+        tracked_step,
+        (x, key, jnp.bool_(False)),
+        (jnp.arange(n_steps, dtype=jnp.int32), schedule),
     )
     return x
 
@@ -264,10 +377,13 @@ class UNetDenoiser:
     ) -> jnp.ndarray | None:
         """Run the full denoising loop.
 
-        Fast path: one jitted lax.scan program. If `progress_cb` or
-        `abort_event` is given, runs step-by-step (one jitted step, python
-        loop) so progress can be reported and sampling aborted per sigma step
-        — the GradioTrackedSampler capability (reference seva/eval.py:1037-1089).
+        Fast path: one jitted lax.scan program. With `progress_cb` /
+        `abort_event` the SAME single-dispatch scan runs with an in-scan
+        ordered io_callback emitting per-step progress and polling abort
+        (the GradioTrackedSampler capability, reference seva/eval.py:1037-1089,
+        without the per-step dispatch cost). A stepwise python loop remains as
+        a debug path (SVC_STEPWISE_SAMPLER=1) and as the fallback on backends
+        without host-callback support or for view-sharded programs.
         Returns None if aborted.
         """
         T, h, w, _ = noise.shape
@@ -291,6 +407,42 @@ class UNetDenoiser:
             return self._jitted[bucket](
                 self.params, noise, plan_to_device(plan), cond, key
             )
+
+        sharded = self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
+        use_in_scan = (
+            os.environ.get("SVC_STEPWISE_SAMPLER", "0") != "1"
+            and not sharded  # io_callback placement under pjit is per-device;
+            # the sharded buckets keep the stepwise loop
+            and io_callback_supported()
+        )
+        if use_in_scan:
+            bucket = ("scan-tracked", T, h, w, plan.num_steps)
+            if bucket not in self._jitted:
+
+                def run_tracked(params, noise, plan_arrays, cond, key, handle, _T=T):
+                    return euler_edm_sample(
+                        partial(self.network_with_params, params),
+                        noise,
+                        plan_arrays,
+                        cond,
+                        key,
+                        num_frames=_T,
+                        tick_handle=handle,
+                    )
+
+                self._jitted[bucket] = jax.jit(run_tracked)
+            handle = register_tick(progress_cb, abort_event)
+            try:
+                x = self._jitted[bucket](
+                    self.params, noise, plan_to_device(plan), cond, key,
+                    jnp.int32(handle),
+                )
+                x.block_until_ready()
+            finally:
+                unregister_tick(handle)
+            if abort_event is not None and abort_event.is_set():
+                return None
+            return x
 
         bucket = ("step", T, h, w)
         if bucket not in self._jitted:

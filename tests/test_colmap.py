@@ -36,11 +36,9 @@ def _lookat_w2c(position, target):
     return w2c
 
 
-@pytest.fixture(scope="module")
-def colmap_scene(tmp_path_factory):
+def _make_scene(root, write_model):
     """3-image synthetic scene: 2 views on a PINHOLE camera, 1 on an OPENCV
     (distorted) camera; 50 3D points with tracks."""
-    root = tmp_path_factory.mktemp("colmap_scene")
     img_dir = osp.join(root, "images")
     os.makedirs(img_dir)
     rng = np.random.default_rng(0)
@@ -70,10 +68,20 @@ def colmap_scene(tmp_path_factory):
     points = rng.normal(scale=0.5, size=(50, 3))
     colors = rng.integers(0, 255, size=(50, 3))
     tracks = [[(1, 0), (2, 0)] if i % 2 == 0 else [(3, 0)] for i in range(50)]
-    write_text_model(
-        osp.join(root, "sparse/0"), cameras, images, points, colors, tracks
-    )
+    write_model(osp.join(root, "sparse/0"), cameras, images, points, colors, tracks)
     return str(root), w2cs, points
+
+
+@pytest.fixture(scope="module")
+def colmap_scene(tmp_path_factory):
+    return _make_scene(tmp_path_factory.mktemp("colmap_scene"), write_text_model)
+
+
+@pytest.fixture(scope="module")
+def colmap_scene_bin(tmp_path_factory):
+    from stable_virtual_camera_tpu.data.colmap_binary import write_binary_model
+
+    return _make_scene(tmp_path_factory.mktemp("colmap_scene_bin"), write_binary_model)
 
 
 def test_text_scene_manager_roundtrip(colmap_scene):
@@ -96,8 +104,40 @@ def test_text_scene_manager_roundtrip(colmap_scene):
     assert m.name_to_image_id["c.png"] == 3
 
 
-def test_colmap_parser_end_to_end(colmap_scene):
-    root, w2cs, points = colmap_scene
+def test_binary_scene_manager_matches_text(colmap_scene, colmap_scene_bin):
+    from stable_virtual_camera_tpu.data.colmap_binary import BinarySceneManager
+
+    root_t, _, _ = colmap_scene
+    root_b, _, _ = colmap_scene_bin
+    assert BinarySceneManager.is_binary_model(osp.join(root_b, "sparse/0"))
+    mt = TextSceneManager(osp.join(root_t, "sparse/0"))
+    mb = BinarySceneManager(osp.join(root_b, "sparse/0"))
+    for m in (mt, mb):
+        m.load_cameras()
+        m.load_images()
+        m.load_points3D()
+    assert set(mb.cameras) == set(mt.cameras)
+    for cid in mt.cameras:
+        for attr in ("camera_type", "width", "height", "fx", "fy", "cx", "cy",
+                     "k1", "k2", "k3", "k4", "p1", "p2"):
+            assert getattr(mb.cameras[cid], attr) == getattr(mt.cameras[cid], attr)
+    assert set(mb.images) == set(mt.images)
+    for iid in mt.images:
+        np.testing.assert_allclose(mb.images[iid].qvec, mt.images[iid].qvec)
+        np.testing.assert_allclose(mb.images[iid].tvec, mt.images[iid].tvec)
+        assert mb.images[iid].camera_id == mt.images[iid].camera_id
+        assert mb.images[iid].name == mt.images[iid].name
+    np.testing.assert_allclose(mb.points3D, mt.points3D, atol=1e-12)
+    np.testing.assert_array_equal(mb.point3D_colors, mt.point3D_colors)
+    assert mb.point3D_id_to_images == mt.point3D_id_to_images
+    assert mb.name_to_image_id == mt.name_to_image_id
+
+
+@pytest.mark.parametrize("encoding", ["text", "binary"])
+def test_colmap_parser_end_to_end(request, encoding):
+    root, w2cs, points = request.getfixturevalue(
+        "colmap_scene" if encoding == "text" else "colmap_scene_bin"
+    )
     parser = get_parser("colmap", data_dir=root, test_every=None)
     assert isinstance(parser, COLMAPParser)
     assert parser.image_names == ["a.png", "b.png", "c.png"]  # filename-sorted

@@ -222,3 +222,152 @@ def test_euler_sampler_matches_reference(ref, rng, guider_type):
     x_j = np.moveaxis(np.asarray(x_j), -1, 1)
 
     np.testing.assert_allclose(x_j, x_t, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# In-scan progress/abort (the single-dispatch GradioTrackedSampler equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _make_tiny_cond(rng, T, h, w):
+    crossattn = rng.normal(size=(T, 1, 16)).astype(np.float32)
+    plucker = rng.normal(size=(T, h, w, 6)).astype(np.float32)
+    mask_map = np.zeros((T, h, w, 1), np.float32)
+    mask_map[0] = 1.0
+    replace = rng.normal(size=(T, h, w, 5)).astype(np.float32) * mask_map
+    return ChunkConditioning(
+        crossattn=jnp.concatenate(
+            [jnp.zeros_like(jnp.asarray(crossattn)), jnp.asarray(crossattn)], 0
+        ),
+        concat=jnp.asarray(
+            np.concatenate(
+                [
+                    np.concatenate([np.zeros_like(mask_map), plucker], -1),
+                    np.concatenate([mask_map, plucker], -1),
+                ],
+                0,
+            )
+        ),
+        dense=jnp.concatenate([jnp.asarray(plucker)] * 2, 0),
+        replace=jnp.concatenate(
+            [jnp.zeros_like(jnp.asarray(replace)), jnp.asarray(replace)], 0
+        ),
+        scale=jnp.full((T,), 2.0, jnp.float32),
+    )
+
+
+def test_tracked_scan_matches_untracked_and_reports_progress(rng):
+    from stable_virtual_camera_tpu.sampling import sampler as sampler_mod
+
+    T, h, w, n = 3, 4, 4, 8
+    plan = plan_to_device(make_sampling_plan(DDPMDiscretization(), n))
+    cond = _make_tiny_cond(rng, T, h, w)
+    noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    ref_x = euler_edm_sample(_jax_mock_net, noise, plan, cond, key, num_frames=T)
+
+    ticks = []
+    handle = sampler_mod.register_tick(lambda i, total: ticks.append((i, total)), None)
+    try:
+        run = jax.jit(
+            lambda noise, plan, cond, key, handle: euler_edm_sample(
+                _jax_mock_net, noise, plan, cond, key, num_frames=T,
+                tick_handle=handle,
+            )
+        )
+        x = run(noise, plan, cond, key, jnp.int32(handle))
+        x.block_until_ready()
+    finally:
+        sampler_mod.unregister_tick(handle)
+
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref_x), rtol=1e-6, atol=1e-6)
+    assert ticks == [(i + 1, n) for i in range(n)]
+
+
+def test_tracked_scan_abort_short_circuits(rng):
+    import threading
+
+    from stable_virtual_camera_tpu.sampling import sampler as sampler_mod
+
+    T, h, w, n, k_abort = 3, 4, 4, 8, 3
+    disc = DDPMDiscretization()
+    plan_full = make_sampling_plan(disc, n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    ev = threading.Event()
+
+    def progress(i, total):
+        if i == k_abort:
+            ev.set()
+
+    handle = sampler_mod.register_tick(progress, ev)
+    try:
+        x = jax.jit(
+            lambda noise, plan, cond, key, handle: euler_edm_sample(
+                _jax_mock_net, noise, plan, cond, key, num_frames=T,
+                tick_handle=handle,
+            )
+        )(noise, plan_to_device(plan_full), cond, key, jnp.int32(handle))
+        x.block_until_ready()
+    finally:
+        sampler_mod.unregister_tick(handle)
+    assert ev.is_set()
+
+    # aborted after step k -> remaining steps are identity, so the result
+    # equals running only the first k steps of the schedule
+    import dataclasses
+
+    plan_k = dataclasses.replace(
+        plan_full,
+        sigma_hat_raw=plan_full.sigma_hat_raw[:k_abort],
+        sigma_hat_quant=plan_full.sigma_hat_quant[:k_abort],
+        t_indices=plan_full.t_indices[:k_abort],
+        sigma_next=plan_full.sigma_next[:k_abort],
+        noise_coeff=plan_full.noise_coeff[:k_abort],
+    )
+    ref_x = euler_edm_sample(
+        _jax_mock_net, noise, plan_to_device(plan_k), cond, key, num_frames=T
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref_x), rtol=1e-6, atol=1e-6)
+
+
+def test_denoiser_sample_tracked_path_and_abort(rng):
+    """UNetDenoiser.sample with progress/abort uses the in-scan path (on CPU,
+    which supports io_callback) and honors the None-on-abort contract."""
+    import threading
+
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            tt = (t_vec.astype(jnp.float32) / 1000.0)[:, None, None, None]
+            return (
+                0.1 * jnp.tanh(net_in[..., :4])
+                + 0.03 * tt
+                + 0.05 * net_in[..., 4:5]
+                + variables["params"]["w"]
+            )
+
+    T, h, w, n = 3, 4, 4, 6
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    plan = make_sampling_plan(DDPMDiscretization(), n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    fast = den.sample(noise, plan, cond, key)
+    ticks = []
+    tracked = den.sample(
+        noise, plan, cond, key, progress_cb=lambda i, total: ticks.append(i)
+    )
+    assert ticks == list(range(1, n + 1))
+    np.testing.assert_allclose(
+        np.asarray(tracked), np.asarray(fast), rtol=1e-6, atol=1e-6
+    )
+
+    ev = threading.Event()
+    ev.set()  # aborted before sampling -> None
+    assert den.sample(noise, plan, cond, key, abort_event=ev) is None
