@@ -8,6 +8,13 @@ Baseline: H100 + torch.compile end-to-end ~0.54 frames/sec
 (134 frames / 250 s, docs/GR_USAGE.md:68-69; BASELINE.md "derived throughput").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`python bench.py --scenario e2e` instead measures the BASELINE'S OWN
+workload end-to-end: a 134-frame two-pass Advanced-style render at 576x576
+through the full SceneEngine (host planning, conditioning, both passes,
+chunk pipelining, save I/O) with synthetic full-scale weights — the honest
+apples-to-apples number against the 0.54 f/s H100 derivation. The default
+single-chunk metric stays the driver's round-over-round series.
 """
 
 from __future__ import annotations
@@ -177,9 +184,136 @@ def main() -> None:
     )
 
 
+def _full_scale_bundle():
+    """ModelBundle at the flagship 1.3B configuration with synthetic weights
+    (same fill scheme as the chunk bench; no checkpoint needed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_params
+    from stable_virtual_camera_tpu.config import SevaSpec
+    from stable_virtual_camera_tpu.engine.runner import (
+        ClipApplier,
+        ModelBundle,
+        VaeApplier,
+    )
+    from stable_virtual_camera_tpu.models.clip import ClipVisionSpec, ClipVisionTower
+    from stable_virtual_camera_tpu.models.unet import SevaUNet
+    from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
+    from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    spec = SevaSpec()
+    unet = SevaUNet(spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                    use_pallas=True)
+    params = _synthetic_params(unet, T, H // 8, W // 8, spec, jnp, jax)
+
+    def fill(path, s):
+        name = path[-1].key
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        if name in ("bias", "class_embedding"):
+            return jnp.zeros(s.shape, s.dtype)
+        fan_in = int(np.prod(s.shape[:-1])) if len(s.shape) > 1 else 1
+        return (
+            jax.random.normal(jax.random.PRNGKey(hash(str(path)) % (2**31)), s.shape)
+            * (1.0 / max(fan_in, 1)) ** 0.5
+        ).astype(s.dtype)
+
+    vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    vae_params = jax.tree_util.tree_map_with_path(
+        fill,
+        jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+                "params"
+            ]
+        ),
+    )
+    clip_spec = ClipVisionSpec()
+    clip = ClipVisionTower(clip_spec, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    clip_params = jax.tree_util.tree_map_with_path(
+        fill,
+        jax.eval_shape(
+            lambda: clip.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+            )["params"]
+        ),
+    )
+    return ModelBundle(
+        spec=spec,
+        denoiser=UNetDenoiser(unet, params),
+        vae=VaeApplier(vae, vae_params),
+        clip=ClipApplier(clip, clip_params),
+        discretization=DDPMDiscretization(),
+    )
+
+
+def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
+    """The baseline's Advanced workload: 1 input image -> `num_frames`
+    targets at 576x576, two passes through the full SceneEngine (reference
+    docs/GR_USAGE.md:66-69 measures exactly this shape on L40S/H100)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from stable_virtual_camera_tpu.apps.renderer import (
+        HeadlessRenderer,
+        preprocess_basic,
+    )
+
+    bundle = _full_scale_bundle()
+    work_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    renderer = HeadlessRenderer(bundle, work_dir=work_dir)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    pre = preprocess_basic(img, shorter=min(H, W))
+    plan = renderer.prepare(
+        pre,
+        preset_traj="orbit",
+        num_frames=num_frames,
+        zoom_factor=0.5,
+        chunk_strategy="interp-gt",
+        cfg=4.0,
+        num_steps=num_steps,
+    )
+    t0 = time.perf_counter()
+    videos = list(renderer.run(plan))
+    total = time.perf_counter() - t0
+    assert videos, "engine produced no output"
+    fps = num_frames / total
+    print(
+        json.dumps(
+            {
+                "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "detail": {
+                    "total_s": round(total, 1),
+                    "num_frames": num_frames,
+                    "num_steps": num_steps,
+                    "first_pass_chunks": plan["first_pass_chunks"],
+                    "second_pass_chunks": plan["second_pass_chunks"],
+                },
+            }
+        )
+    )
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     try:
-        main()
+        if "--scenario" in sys.argv and "e2e" in sys.argv:
+            idx = sys.argv.index("--frames") if "--frames" in sys.argv else -1
+            frames = int(sys.argv[idx + 1]) if idx >= 0 else 134
+            sidx = sys.argv.index("--steps") if "--steps" in sys.argv else -1
+            steps = int(sys.argv[sidx + 1]) if sidx >= 0 else STEPS
+            scenario_e2e(frames, steps)
+        else:
+            main()
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "error",
                           "vs_baseline": 0, "detail": repr(e)[:400]}))

@@ -218,18 +218,22 @@ def _default_options() -> EngineOptions:
     )
 
 
-def _build_bundle(checkpoint_dir, random_model, use_pallas=True, mesh_view=None):
+def _build_bundle(checkpoint_dir, random_model, use_pallas=True, mesh_view=None,
+                  mesh_data=None):
     from stable_virtual_camera_tpu.models import io as mio
 
     mesh = None
-    if mesh_view and int(mesh_view) > 1:
-        # frames shard over the 'view' axis inside every sampling program
-        # (sampling/sampler.UNetDenoiser; requires T % mesh_view == 0 per
-        # bucket, else that bucket silently runs unsharded)
+    n_view = int(mesh_view) if mesh_view else 1
+    n_data = int(mesh_data) if mesh_data else 1
+    if n_view > 1 or n_data > 1:
+        # 'view' shards frames inside every sampling program (requires
+        # T % mesh_view == 0 per bucket, else that bucket runs unsharded);
+        # 'data' fans independent second-pass chunks out in groups of
+        # mesh_data (engine/runner.py second pass, sampler.sample_many)
         from stable_virtual_camera_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_data=1, n_view=int(mesh_view))
-        print(f"[cli] view-sharded sampling over {mesh_view} devices")
+        mesh = make_mesh(n_data=n_data, n_view=n_view)
+        print(f"[cli] mesh sampling: data={n_data} x view={n_view} devices")
     if random_model:
         print("[cli] --random_model: tiny randomly initialized bundle (smoke mode)")
         return mio.random_bundle(mesh=mesh), True
@@ -255,6 +259,7 @@ def main(
     random_model=False,
     work_dir=WORK_DIR,
     mesh_view=None,
+    mesh_data=None,
     platform=None,
     **overwrite_options,
 ):
@@ -270,7 +275,7 @@ def main(
 
         jax.config.update("jax_platforms", str(platform))
     bundle, is_tiny = _build_bundle(checkpoint_dir, random_model,
-                                    mesh_view=mesh_view)
+                                    mesh_view=mesh_view, mesh_data=mesh_data)
     version = VersionConfig()
     if is_tiny:
         version = VersionConfig(H=64, W=64, T=bundle.spec.num_frames)

@@ -182,7 +182,10 @@ class HeadlessRenderer:
             num_steps=num_steps,
             cfg_min=1.2,
             encoding_t=1,
-            decoding_t=1,
+            # the reference decodes 1 frame at a time for GPU memory
+            # (demo_gr.py:569-570); on TPU a 7-frame lax.map chunk is the
+            # measured optimum (docs/ARCHITECTURE.md, VAE decode) and fits HBM
+            decoding_t=7,
         )
         num_anchors = infer_prior_stats(
             version.T, num_inputs, num_total_frames=num_targets, version_config=version,

@@ -183,29 +183,20 @@ class ModelBundle:
         return self._plans[num_steps]
 
 
-def sample_chunk(
+def build_chunk_conditioning(
     bundle: ModelBundle,
     values: ChunkValues,
     *,
-    num_steps: int,
     cfg: float,
     guider_type: int,
     cfg_min: float,
-    key: jax.Array,
     encoding_t: int | None = None,
-    decoding_t: int | None = None,
     latent_downsample: int = 8,
-    progress_cb=None,
-    abort_event=None,
-    defer: bool = False,
-) -> np.ndarray | None:
-    """One chunk's conditioning + denoising + decode
-    (reference seva/eval.py:1218-1321 `do_sample`).
-
-    `defer=True` returns the decoded frames as a DEVICE array without host
-    sync, so the caller can dispatch the next chunk while this one finishes
-    (chunk pipelining — valid whenever chunks are independent, i.e. the
-    second pass)."""
+) -> tuple[ChunkConditioning, tuple[int, int, int, int]]:
+    """One chunk's CFG-doubled device conditioning (the first half of the
+    reference's `do_sample`, seva/eval.py:1242-1281): VAE-encode input views,
+    CLIP-embed + average, assemble crossattn/concat/dense/replace and the
+    per-frame guidance scale vector. Returns (cond, (T, h, w, C))."""
     T, H, W = values.imgs.shape[0], values.imgs.shape[1], values.imgs.shape[2]
     h, w = H // latent_downsample, W // latent_downsample
     mask = values.input_frame_mask
@@ -242,7 +233,36 @@ def sample_chunk(
         ),
         scale=jnp.asarray(scale_vec),
     )
+    return cond, (T, h, w, C)
 
+
+def sample_chunk(
+    bundle: ModelBundle,
+    values: ChunkValues,
+    *,
+    num_steps: int,
+    cfg: float,
+    guider_type: int,
+    cfg_min: float,
+    key: jax.Array,
+    encoding_t: int | None = None,
+    decoding_t: int | None = None,
+    latent_downsample: int = 8,
+    progress_cb=None,
+    abort_event=None,
+    defer: bool = False,
+) -> np.ndarray | None:
+    """One chunk's conditioning + denoising + decode
+    (reference seva/eval.py:1218-1321 `do_sample`).
+
+    `defer=True` returns the decoded frames as a DEVICE array without host
+    sync, so the caller can dispatch the next chunk while this one finishes
+    (chunk pipelining — valid whenever chunks are independent, i.e. the
+    second pass)."""
+    cond, (T, h, w, C) = build_chunk_conditioning(
+        bundle, values, cfg=cfg, guider_type=guider_type, cfg_min=cfg_min,
+        encoding_t=encoding_t, latent_downsample=latent_downsample,
+    )
     key_init, key_loop = jax.random.split(key)
     noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
     x = bundle.denoiser.sample(
@@ -739,6 +759,11 @@ class SceneEngine:
                 extend_dict(all_samples, samples)
                 all_test_inds.extend(c_test_inds)
 
+            # host-assemble every chunk up front (cheap numpy): second-pass
+            # chunks depend only on the fixed anchors, so they can run
+            # serially (1-deep device pipeline) or data-parallel over the
+            # mesh's 'data' axis (sample_many)
+            work = []
             for i, (c_pri_inds, c_pri_sels, c_test_inds, c_test_sels) in enumerate(
                 zip(
                     plan2.input_inds_per_chunk,
@@ -781,20 +806,57 @@ class SceneEngine:
                     curr_Ks,
                     list(range(T_second)),
                 )
+                work.append((i, c_test_sels, c_test_inds, curr, values))
+
+            mesh = bundle.denoiser.mesh
+            n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+            guider2 = guiders[1] if len(guiders) > 1 else guiders[0]
+            cfg2 = _cfg_at(cfg_opt, 1)
+            chunk_key = lambda i: jax.random.fold_in(  # noqa: E731
+                jax.random.fold_in(base_key, 2), i
+            )
+            # per-step progress needs the serial sampler; without it,
+            # independent chunks batch over the data axis in groups of n_data
+            # (bit-identical to serial: same per-chunk keys, see sample_many)
+            use_dp = n_data > 1 and len(work) > 1 and second_pass_pbar is None
+            n_full = (len(work) // n_data) * n_data if use_dp else 0
+            for g in range(0, n_full, n_data):
+                if abort_event is not None and abort_event.is_set():
+                    return
+                group = work[g : g + n_data]
+                conds, shape = [], None
+                for _, _, _, _, values in group:
+                    cond, shape = build_chunk_conditioning(
+                        bundle, values, cfg=cfg2, guider_type=guider2,
+                        cfg_min=cfg_min, encoding_t=enc_t, latent_downsample=F,
+                    )
+                    conds.append(cond)
+                conds_n = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *conds
+                )
+                keys_n = jnp.stack([chunk_key(item[0]) for item in group])
+                xs_n = bundle.denoiser.sample_many(
+                    keys_n, bundle.plan(num_steps), conds_n, shape
+                )
+                for j, (i, c_test_sels, c_test_inds, curr, _) in enumerate(group):
+                    out_dev = bundle.vae.decode_async(xs_n[j], dec_t)
+                    _flush_second_pass_chunk(
+                        (out_dev, i, c_test_sels, c_test_inds, curr)
+                    )
+            for i, c_test_sels, c_test_inds, curr, values in work[n_full:]:
                 samples_dev = sample_chunk(
                     bundle,
                     values,
                     num_steps=num_steps,
-                    cfg=_cfg_at(cfg_opt, 1),
-                    guider_type=guiders[1] if len(guiders) > 1 else guiders[0],
+                    cfg=cfg2,
+                    guider_type=guider2,
                     cfg_min=cfg_min,
-                    key=jax.random.fold_in(jax.random.fold_in(base_key, 2), i),
+                    key=chunk_key(i),
                     encoding_t=enc_t,
                     decoding_t=dec_t,
                     latent_downsample=F,
                     abort_event=abort_event,
                     progress_cb=second_pass_pbar,
-                    # second-pass chunks depend only on the fixed anchors, so
                     # chunk i's decode queues on-device behind chunk i+1's
                     # denoise; the host materializes one chunk behind
                     defer=True,

@@ -314,11 +314,22 @@ class UNetDenoiser:
         self.params = params
         self.mesh = mesh
         self._jitted: dict[tuple, Callable] = {}
+        self._warned_unsharded: set[int] = set()
 
     def _maybe_shard(self, fn, T: int, has_per_step: bool):
         """jit `fn(params, x, plan/per_step, cond, key)` with view shardings
         when the mesh applies to this T."""
-        if self.mesh is None or T % self.mesh.shape.get("view", 1) != 0:
+        if self.mesh is None:
+            return jax.jit(fn)
+        n_view = self.mesh.shape.get("view", 1)
+        if T % n_view != 0:
+            if T not in self._warned_unsharded:
+                self._warned_unsharded.add(T)
+                print(
+                    f"[sampler] WARNING: T={T} does not divide the mesh view "
+                    f"axis ({n_view}); this shape bucket runs UNSHARDED on "
+                    f"one device"
+                )
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -445,7 +456,7 @@ class UNetDenoiser:
             return x
 
         bucket = ("step", T, h, w)
-        if bucket not in self._jitted:
+        if bucket not in self._jitted:  # stepwise debug/fallback path
 
             def run_step(params, x, per_step, cond, key, _T=T):
                 return euler_edm_step(
@@ -466,7 +477,7 @@ class UNetDenoiser:
         )
         pa = plan_to_device(plan)
         x = noise * pa["init_scale"]
-        for i in range(plan.num_steps):
+        for i in range(plan.num_steps):  # stepwise debug/fallback loop
             per_step = tuple(
                 pa[k][i]
                 for k in (
@@ -484,6 +495,65 @@ class UNetDenoiser:
             if abort_event is not None and abort_event.is_set():
                 return None
         return x
+
+    def sample_many(self, keys, plan, conds, latent_shape):
+        """Denoise N independent chunks in ONE program, vmapped over the
+        chunk axis and — when the mesh has a 'data' axis that divides N —
+        sharded over it, so each device group denoises different chunks
+        concurrently (the engine-level data-parallel fan-out; the reference's
+        only scaling story is the sequential chunk loop,
+        seva/eval.py:1862-1956).
+
+        keys: (N, ...) stacked PRNG keys, one per chunk (the same key the
+        serial path would receive — noise + loop keys split identically
+        inside, so data-parallel == serial bit-for-bit).
+        conds: ChunkConditioning with a leading N axis on every leaf.
+        Returns (N, T, h, w, C) denoised latents (device array)."""
+        T, h, w, C = latent_shape
+        N = keys.shape[0]
+        bucket = ("dp", N, T, h, w, plan.num_steps)
+        if bucket not in self._jitted:
+
+            def run(params, plan_arrays, conds, keys, _T=T):
+                def one(c, k):
+                    k_init, k_loop = jax.random.split(k)
+                    noise = jax.random.normal(k_init, (_T, h, w, C), jnp.float32)
+                    return euler_edm_sample(
+                        partial(self.network_with_params, params),
+                        noise, plan_arrays, c, k_loop, num_frames=_T,
+                    )
+
+                return jax.vmap(one)(conds, keys)
+
+            mesh = self.mesh
+            n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+            if n_data > 1 and N % n_data == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ds = lambda rank: NamedSharding(  # noqa: E731
+                    mesh, P("data", *([None] * (rank - 1)))
+                )
+                scalar = NamedSharding(mesh, P())
+                params_sh = jax.tree_util.tree_map(lambda _: scalar, self.params)
+                cond_sh = ChunkConditioning(
+                    crossattn=ds(4), concat=ds(5), dense=ds(5), replace=ds(5),
+                    scale=ds(2),
+                )
+                plan_sh = {
+                    k: scalar
+                    for k in (
+                        "sigma_hat_raw", "sigma_hat_quant", "t_indices",
+                        "sigma_next", "noise_coeff", "init_scale",
+                    )
+                }
+                self._jitted[bucket] = jax.jit(
+                    run,
+                    in_shardings=(params_sh, plan_sh, cond_sh, ds(keys.ndim)),
+                    out_shardings=ds(5),
+                )
+            else:
+                self._jitted[bucket] = jax.jit(run)
+        return self._jitted[bucket](self.params, plan_to_device(plan), conds, keys)
 
 
 jax.tree_util.register_pytree_node(

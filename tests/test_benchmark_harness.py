@@ -132,3 +132,74 @@ def test_benchmark_entries_table():
     f = cli_flags(ENTRIES["co3d"], 3)
     assert f["use_traj_prior"] and f["traj_prior"] == "orbit"
     assert f["chunk_strategy"] == "nearest-gt"
+
+
+@pytest.fixture()
+def benchmark_tree(tmp_path, rng):
+    """A benchmark_dir with one synthetic re10k scene (reconfusion format),
+    mirroring how the reference's benchmark.zip unpacks."""
+    scene = tmp_path / "benchmark" / "re10k" / "scene000"
+    (scene / "images").mkdir(parents=True)
+    n = 5
+    c2ws = random_c2ws(rng, n)
+    c2ws[:, :, [1, 2]] *= -1  # parser flips OpenGL -> OpenCV
+    frames = []
+    for i in range(n):
+        img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        name = f"images/frame_{i:03d}.png"
+        Image.fromarray(img).save(scene / name)
+        frames.append(
+            {
+                "file_path": f"./{name}",
+                "transform_matrix": c2ws[i].tolist(),
+                "fl_x": 80.0, "fl_y": 80.0, "cx": 32.0, "cy": 32.0,
+                "w": 64, "h": 64,
+            }
+        )
+    with open(scene / "transforms.json", "w") as f:
+        json.dump({"frames": frames}, f)
+    with open(scene / "train_test_split_1.json", "w") as f:
+        json.dump({"train_ids": [0], "test_ids": list(range(1, n))}, f)
+    return tmp_path / "benchmark"
+
+
+def test_run_eval_dry_run(benchmark_tree, tmp_path, monkeypatch):
+    """The one-command weights -> generate -> score path, end-to-end with a
+    random tiny model (VERDICT r2 next-item 4): the day real weights exist,
+    only --checkpoint_dir changes."""
+    import benchmark.entries as entries_mod
+    from benchmark.run_eval import run_eval
+
+    # 2-value sweep instead of the 20-value reference sweep (single-view rule)
+    monkeypatch.setattr(
+        entries_mod, "SINGLE_VIEW_CAMERA_SCALES", [1.0, 2.0]
+    )
+
+    out_json = str(tmp_path / "scores.json")
+    results = run_eval(
+        benchmark_dir=str(benchmark_tree),
+        random_model=True,
+        entries=["re10k"],
+        work_dir=str(tmp_path / "work"),
+        sweep=True,
+        out=out_json,
+        num_steps=2,
+        sampler_verbose=False,
+    )
+    scores = results["re10k"]
+    assert scores["num_scenes"] == 1
+    assert "psnr" in scores and "ssim" in scores
+    assert 0 < scores["ssim"] <= 1
+    # the sweep kept the best-psnr camera scale of the two
+    assert scores["per_scene"][0]["camera_scale"] in (1.0, 2.0)
+    # entries without data are reported as skipped, not errors
+    results2 = run_eval(
+        benchmark_dir=str(benchmark_tree),
+        random_model=True,
+        entries=["llff"],
+        work_dir=str(tmp_path / "work2"),
+    )
+    assert "skipped" in results2["llff"]
+
+    with open(out_json) as f:
+        assert "re10k" in json.load(f)

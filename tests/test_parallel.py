@@ -261,3 +261,122 @@ def test_engine_mesh_integration(tmp_path):
     # mp4 round trip is lossy; compare decoded frames with a loose budget
     assert base.shape == sharded.shape
     assert np.mean(np.abs(base.astype(int) - sharded.astype(int))) < 2.0
+
+
+def test_engine_data_parallel_second_pass(tmp_path):
+    """Second-pass chunks fan out over the mesh 'data' axis in groups
+    (runner.py second pass + sampler.sample_many) and produce the same frames
+    as the serial engine — the CLI's --mesh_data path. The scenario yields 5
+    chunks with n_data=2: two DP groups plus a serial remainder, so both code
+    paths run."""
+    import glob
+    import os.path as osp
+
+    import cv2
+    from conftest import random_c2ws
+    from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+    from stable_virtual_camera_tpu.models.io import random_bundle
+
+    def run(mesh, subdir):
+        bundle = random_bundle(image_hw=(64, 64), mesh=mesh)
+        rng = np.random.default_rng(11)
+        n = 7  # 1 input + 6 ordered targets
+        imgs = (rng.uniform(0, 255, size=(n, 64, 64, 3))).astype(np.uint8)
+        c2ws = random_c2ws(rng, n).astype(np.float32)[:, :3]
+        Ks = np.repeat(
+            np.array([[1.2, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)[None],
+            n, 0,
+        )
+        prior_c2ws = c2ws[[2, 3, 4, 5, 6]]
+        options = EngineOptions().update(dict(
+            num_steps=2, cfg=[2.0, 2.0], cfg_min=1.2, guider_types=[1, 2],
+            chunk_strategy="interp", chunk_strategy_first_pass="gt",
+            sampler_verbose=False, video_save_fps=5.0,
+            encoding_t=0, decoding_t=0, save_first_pass=False,
+        ))
+        engine = SceneEngine(bundle, VersionConfig(H=64, W=64, T=3), options)
+        save_path = str(tmp_path / subdir)
+        videos = list(engine.run_one_scene(
+            "img2trajvid",
+            {"img": [im for im in imgs], "input_indices": [0],
+             "prior_indices": [1.5, 2.5, 3.5, 4.5, 5.5]},
+            {"c2w": c2ws, "K": [k for k in Ks], "input_indices": list(range(n))},
+            save_path=save_path,
+            use_traj_prior=True,
+            traj_prior_Ks=None,
+            traj_prior_c2ws=prior_c2ws,
+            seed=2,
+        ))
+        assert osp.exists(videos[-1])
+        pngs = sorted(glob.glob(osp.join(save_path, "samples-rgb", "*.png")))
+        assert len(pngs) == 6
+        return np.stack([cv2.imread(p) for p in pngs])
+
+    serial = run(None, "dp_serial")
+    dp = run(make_mesh(n_data=2, n_view=1), "dp_mesh")
+    # PNGs are lossless; DP uses the same per-chunk keys as the serial loop,
+    # so frames agree to quantization (vmap compiles a different program, so
+    # bitwise float equality is not guaranteed)
+    assert serial.shape == dp.shape
+    assert np.max(np.abs(serial.astype(int) - dp.astype(int))) <= 1
+
+
+def test_engine_semi_dense_large_T_on_mesh(tmp_path):
+    """The T=80-96 semi-dense regime, engine-level, on the virtual mesh: >=9
+    input views grow the first-pass context window in place
+    (infer_prior_stats, reference seva/eval.py:363-420) and the engine runs
+    that large-T single forward view-sharded over all 8 devices (T_first=16
+    here at tiny scale; 16 and 8 both divide the view axis, so no bucket
+    falls back to single-device)."""
+    import glob
+    import os.path as osp
+
+    from conftest import random_c2ws
+    from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
+    from stable_virtual_camera_tpu.engine.prior import infer_prior_stats
+    from stable_virtual_camera_tpu.engine.runner import SceneEngine
+    from stable_virtual_camera_tpu.models.io import random_bundle
+
+    mesh = make_mesh(n_data=1, n_view=8)
+    bundle = random_bundle(image_hw=(64, 64), mesh=mesh)
+    n_in, n_tgt = 10, 30
+    n = n_in + n_tgt
+    rng = np.random.default_rng(21)
+    imgs = (rng.uniform(0, 255, size=(n, 64, 64, 3))).astype(np.uint8)
+    c2ws = random_c2ws(rng, n).astype(np.float32)[:, :3]
+    Ks = np.repeat(
+        np.array([[1.2, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)[None], n, 0
+    )
+    options = EngineOptions().update(dict(
+        num_steps=2, cfg=[2.0, 2.0], cfg_min=1.2, guider_types=[1, 2],
+        chunk_strategy="interp", chunk_strategy_first_pass="gt-nearest",
+        sampler_verbose=False, video_save_fps=5.0,
+        encoding_t=0, decoding_t=0, save_first_pass=False,
+    ))
+    version = VersionConfig(H=64, W=64, T=8)
+    num_anchors = infer_prior_stats(version.T, n_in, n_tgt, version, options)
+    # the semi-dense branch rewrote T in place: first pass = inputs + anchors
+    assert version.T == [16, 8] and num_anchors == 6
+
+    anchor_indices = np.linspace(n_in, n - 1, num_anchors).tolist()
+    anchor_c2ws = c2ws[[round(i) for i in anchor_indices]]
+
+    engine = SceneEngine(bundle, version, options)
+    save_path = str(tmp_path / "semidense")
+    videos = list(engine.run_one_scene(
+        "img2trajvid",
+        {"img": [im for im in imgs], "input_indices": list(range(n_in)),
+         "prior_indices": anchor_indices},
+        {"c2w": c2ws, "K": [k for k in Ks], "input_indices": list(range(n))},
+        save_path=save_path,
+        use_traj_prior=True,
+        traj_prior_Ks=None,
+        traj_prior_c2ws=anchor_c2ws,
+        seed=4,
+    ))
+    assert osp.exists(videos[-1])
+    pngs = glob.glob(osp.join(save_path, "samples-rgb", "*.png"))
+    assert len(pngs) == n_tgt
+    # every shape bucket ran sharded (no silent single-device fallback)
+    assert bundle.denoiser._warned_unsharded == set()
