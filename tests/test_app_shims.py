@@ -22,6 +22,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-scale: minutes on this 1-core box
+
 
 # ---------------------------------------------------------------------------
 # fake gradio

@@ -5,6 +5,8 @@ import json
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # engine-scale: minutes on this 1-core box
 from PIL import Image
 
 from conftest import random_c2ws

@@ -6,6 +6,8 @@ import os.path as osp
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # engine-scale: minutes on this 1-core box
 from PIL import Image
 
 from conftest import random_c2ws

@@ -6,6 +6,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-scale: minutes on this 1-core box
+
 from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
 from stable_virtual_camera_tpu.engine.runner import SceneEngine
 from stable_virtual_camera_tpu.models.io import random_bundle

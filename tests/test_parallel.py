@@ -4,6 +4,8 @@ view-sharded sampling step compiles, runs, and matches the unsharded result."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-scale: minutes on this 1-core box
+
 import jax
 import jax.numpy as jnp
 
