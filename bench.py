@@ -117,22 +117,18 @@ def main() -> None:
         ).astype(s.dtype)
 
     vae_params = jax.tree_util.tree_map_with_path(fill, dec_shapes)
-    # decode all T frames in ONE dispatch: lax.map over chunks of 7
-    # (measured 173 ms/frame at B=7 vs 207 at B=3, docs/ARCHITECTURE.md)
-    CHUNK = 7
+    # decode ALL T frames as one flat batch in one dispatch: measured 2.82 s
+    # vs 3.86 s for lax.map chunks of 7 (benchmark/attn_block_sweep.py decode
+    # probe, round-3 journal) — the map's sequential sub-batches serialize
+    # what the flat batch overlaps, and 21 x 576^2 activations fit HBM
     decode = jax.jit(
-        lambda p, zs: jax.lax.map(
-            lambda zc: vae.apply({"params": p}, zc, method=AutoEncoderKL.decode), zs
-        )
+        lambda p, zs: vae.apply({"params": p}, zs, method=AutoEncoderKL.decode)
     )
     zj = jnp.asarray(z)
-    zs = jnp.concatenate([zj, zj[: (-T) % CHUNK]], 0).reshape(
-        (-(-T // CHUNK), CHUNK) + zj.shape[1:]
-    )
-    sync(decode(vae_params, zs))  # compile
+    sync(decode(vae_params, zj))  # compile
     t_decode = float("inf")
     for i in (1, 2, 3):
-        zs2 = zs * (1.0 + 0.001 * i)
+        zs2 = zj * (1.0 + 0.001 * i)
         t0 = time.perf_counter()
         out = decode(vae_params, zs2)
         sync(out)

@@ -45,6 +45,9 @@ def main():
     with jax.profiler.trace(LOGDIR):
         np.asarray(fwd(params, x * 1.002, t, ctx, dense)[0, 0, 0, :2])
     print(summarize(LOGDIR, top=20))
+    from stable_virtual_camera_tpu.utils.trace_analysis import top_fusion_details
+
+    print(top_fusion_details(LOGDIR, top=12))
 
 
 if __name__ == "__main__":

@@ -211,8 +211,11 @@ def _default_options() -> EngineOptions:
         camera_scale=2.0,
         num_steps=50,
         cfg_min=1.2,
-        encoding_t=1,
-        decoding_t=1,
+        # the reference defaults to 1-frame VAE chunks for GPU memory
+        # (demo.py:302-303); on TPU the whole batch in one dispatch is the
+        # measured optimum (round-3 journal) — 0 = unchunked (VaeApplier)
+        encoding_t=0,
+        decoding_t=0,
         num_inputs=None,
         seed=23,
     )

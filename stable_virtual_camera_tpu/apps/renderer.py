@@ -181,11 +181,12 @@ class HeadlessRenderer:
             camera_scale=camera_scale,
             num_steps=num_steps,
             cfg_min=1.2,
-            encoding_t=1,
-            # the reference decodes 1 frame at a time for GPU memory
-            # (demo_gr.py:569-570); on TPU a 7-frame lax.map chunk is the
-            # measured optimum (docs/ARCHITECTURE.md, VAE decode) and fits HBM
-            decoding_t=7,
+            encoding_t=0,
+            # the reference en/decodes 1 frame at a time for GPU memory
+            # (demo_gr.py:569-570); on TPU one flat batch over all T frames is
+            # the measured optimum (2.82 s vs 3.86 s chunked, round-3 journal)
+            # and fits HBM. 0 = whole batch in one dispatch (VaeApplier).
+            decoding_t=0,
         )
         num_anchors = infer_prior_stats(
             version.T, num_inputs, num_total_frames=num_targets, version_config=version,

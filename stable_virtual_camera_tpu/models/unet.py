@@ -25,6 +25,7 @@ the SGMWrapper concat (seva/model.py:219-234) is `assemble_network_input`.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -95,18 +96,21 @@ class GroupNorm32(nn.Module):
 
 
 class LayerNorm32(nn.Module):
+    """LayerNorm with fp32 statistics (single-pass, ops/norms.layer_norm_fp32)
+    under flax nn.LayerNorm's checkpoint naming. Bench-neutral vs the flax
+    two-pass form (round-3 journal) but one reduction pass instead of two."""
+
     param_dtype: Dtype = jnp.float32
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-            name="ln",
-        )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        from stable_virtual_camera_tpu.ops.norms import layer_norm_fp32
+
+        scale, bias = _NormParams(
+            x.shape[-1], param_dtype=self.param_dtype, name="ln"
+        )()
+        return layer_norm_fp32(x, scale, bias, self.eps)
 
 
 class Attention(nn.Module):
@@ -254,7 +258,17 @@ class FeedForward(nn.Module):
             inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_gate"
         )(x)
         val, gate = jnp.split(h, 2, axis=-1)
-        h = val * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
+        # SVC_GELU_MODE: exact (reference erf GELU, default) | tanh (cheaper
+        # VPU approximation, sub-bf16-quantization deviation) | linear
+        # (TIMING DIAGNOSTIC ONLY — wrong math, sizes the erf cost)
+        mode = os.environ.get("SVC_GELU_MODE", "exact")
+        if mode == "linear":
+            g = gate
+        else:
+            g = nn.gelu(
+                gate.astype(jnp.float32), approximate=(mode == "tanh")
+            ).astype(x.dtype)
+        h = val * g
         return nn.Dense(
             dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(h)

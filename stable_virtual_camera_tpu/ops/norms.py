@@ -24,6 +24,28 @@ import jax
 import jax.numpy as jnp
 
 
+def layer_norm_fp32(
+    x: jnp.ndarray,      # (..., C)
+    gamma: jnp.ndarray,  # (C,)
+    beta: jnp.ndarray,   # (C,)
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm over the last axis with single-pass fp32 statistics.
+
+    flax's nn.LayerNorm on an explicitly fp32-cast input runs TWO reduction
+    passes (mean, then E[(x-mean)^2]) over a materialized fp32 copy; with
+    ~100 transformer LayerNorms per UNet forward those convert+reduce fusions
+    measured 120 ms/fwd. The E[x^2]-E[x]^2 form reduces once with the
+    bf16->fp32 convert fused into the reduction. Same fp32-island numerics
+    contract; parity-tested against flax (tests/test_flash_attention.py)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(jnp.maximum(msq - mean * mean, 0.0) + eps)
+    y = (xf - mean) * rstd * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def group_norm_nhwc(
     x: jnp.ndarray,      # (B, H, W, C) or (B, L, C)
     gamma: jnp.ndarray,  # (C,)

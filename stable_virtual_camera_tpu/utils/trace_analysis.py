@@ -85,5 +85,29 @@ def summarize(logdir: str, top: int = 20):
     return "\n".join(lines)
 
 
+def top_fusion_details(logdir: str, top: int = 10) -> str:
+    """The N most expensive individual fusion/dot ops WITH their HLO
+    long_name (shapes included) — identifies what a 'fusion.#' bucket is."""
+    events = load_trace(logdir)
+    per_op = collections.Counter()
+    samples: dict[str, str] = {}
+    for e in device_events(events):
+        name = e.get("name", "?")
+        if not ("fusion" in name or "convolution" in name):
+            continue
+        key = re.sub(r"\d+$", "#", name)
+        per_op[key] += e["dur"]
+        long = e.get("args", {}).get("long_name", "")
+        if key not in samples or len(long) > len(samples[key]):
+            samples[key] = long
+    lines = ["-- top fusions with HLO detail (total ms) --"]
+    for op, dur in per_op.most_common(top):
+        lines.append(f"{dur / 1e3:9.2f}  {op}\n           {samples[op][:360]}")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
-    print(summarize(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"))
+    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
+    print(summarize(logdir))
+    if "--fusions" in sys.argv:
+        print(top_fusion_details(logdir))

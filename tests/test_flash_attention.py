@@ -174,3 +174,20 @@ def test_group_norm_matches_flax():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3
         )
+
+
+def test_layer_norm_fp32_matches_flax():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from stable_virtual_camera_tpu.ops.norms import layer_norm_fp32
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(4, 17, 96)).astype(np.float32) * 3.0 + 0.5)
+    gamma = jnp.asarray(rng.normal(size=(96,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(96,)).astype(np.float32))
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, use_bias=True, use_scale=True)
+    ref = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    out = layer_norm_fp32(x, gamma, beta, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
