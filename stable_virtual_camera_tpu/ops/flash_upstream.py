@@ -36,6 +36,23 @@ def _pick(n: int) -> int:
     return 128
 
 
+# Per-sequence-length tuned layouts, measured on a v5e chip with in-scan
+# dependent-call loops (benchmark/attn_probe2.py, round-3 journal). The
+# kernel's real constraints: block_k must be a 128-multiple OR equal the kv
+# length; block_q must be 8-divisible and divide the (separately padded) q
+# length. The model's lengths are 81·2^k-smooth, so q usually needs ZERO
+# padding (1296 = 81·16 divides both 5184 and 27216) and kv pads to ≤3.7%
+# instead of the generic 1024-multiple's 18.5%.
+#   L -> (q_pad, block_q, kv_pad, block_k)   [measured ms/call vs generic]
+_TUNED: dict[int, tuple[int, int, int, int]] = {
+    5184: (5184, 1296, 5376, 1792),   # 26.7 vs 33.5 generic (pf_ds1)
+    1296: (1296, 1296, 1296, 1296),   # 7.1 vs 8.6 (pf_ds2); bk == kv len
+    324: (324, 324, 324, 324),        # 4.5 vs 7.8 (pf_ds4); bk == kv len
+    27216: (27216, 1296, 27648, 1024),  # 57.7 vs 58.0 (joint_ds2), no q pad
+    # 6804 / 1701 (joint_ds4/ds8): generic 1024/1024 measured best
+}
+
+
 def flash_attention_upstream_bhld(
     q: jnp.ndarray,  # (B, H, L, D) — the kernel's native layout
     k: jnp.ndarray,
@@ -46,38 +63,48 @@ def flash_attention_upstream_bhld(
     fusing it into the projection GEMMs: einsum('blc,chd->bhld', x, W) writes
     (B,H,L,D) in the matmul epilogue (models/unet.Attention does this)."""
     B, H, L, D = q.shape
-    block = _pick(L)
-    L_pad = _round_up(L, block)
+    if L in _TUNED:
+        q_pad, bq, kv_pad, bk = _TUNED[L]
+    else:
+        block = _pick(L)
+        q_pad = kv_pad = _round_up(L, block)
+        bq = bk = block
 
-    def padded(x):
-        if L_pad != L:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, L_pad - L), (0, 0)))
+    def padded(x, target):
+        if target != L:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, target - L), (0, 0)))
         return x
 
-    qp, kp, vp = padded(q), padded(k), padded(v)
-    ids = (jnp.arange(L_pad) >= L).astype(jnp.int32)  # 0 = real, 1 = padding
-    seg = SegmentIds(
-        q=jnp.broadcast_to(ids, (B, L_pad)), kv=jnp.broadcast_to(ids, (B, L_pad))
-    )
+    qp = padded(q, q_pad)
+    kp, vp = padded(k, kv_pad), padded(v, kv_pad)
+    if q_pad == L and kv_pad == L:
+        seg = None  # no padding anywhere -> skip all masking work
+    else:
+        q_ids = (jnp.arange(q_pad) >= L).astype(jnp.int32)  # 0=real, 1=pad
+        kv_ids = (jnp.arange(kv_pad) >= L).astype(jnp.int32)
+        seg = SegmentIds(
+            q=jnp.broadcast_to(q_ids, (B, q_pad)),
+            kv=jnp.broadcast_to(kv_ids, (B, kv_pad)),
+        )
     sizes = BlockSizes(
-        block_q=block,
-        block_k_major=block,
-        block_k=block,
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
         block_b=1,
-        block_q_major_dkv=block,
-        block_k_major_dkv=block,
-        block_k_dkv=block,
-        block_q_dkv=block,
-        block_k_major_dq=block,
-        block_k_dq=block,
-        block_q_dq=block,
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
     )
     out = _upstream(
         qp, kp, vp,
         segment_ids=seg,
         sm_scale=float(D) ** -0.5,
         block_sizes=sizes,
-    )  # (B, H, L_pad, D)
+    )  # (B, H, q_pad, D)
     return out[:, :, :L]
 
 
