@@ -258,16 +258,24 @@ class FeedForward(nn.Module):
             inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_gate"
         )(x)
         val, gate = jnp.split(h, 2, axis=-1)
-        # SVC_GELU_MODE: exact (reference erf GELU, default) | tanh (cheaper
-        # VPU approximation, sub-bf16-quantization deviation) | linear
-        # (TIMING DIAGNOSTIC ONLY — wrong math, sizes the erf cost)
-        mode = os.environ.get("SVC_GELU_MODE", "exact")
+        # GELU precision policy (round-3 journal): the erf GELU costs a
+        # measured 4.4 s of the 50-step denoise on a v5e chip (45.5 -> 41.1 s
+        # with the erf stubbed out), and computing it in bf16 doesn't help —
+        # XLA upcasts the transcendental internally either way. The tanh
+        # approximation recovers the whole cost (41.24 s measured) and
+        # deviates from erf-GELU by <= 4.7e-4 absolute — within one bf16 ulp
+        # of the exact value everywhere — so it is invisible at the bf16
+        # compute precision this model runs at. fp32 models (all CPU parity
+        # tests vs the torch oracle) keep the exact erf form.
+        # SVC_GELU_MODE overrides: auto (default) | exact | tanh | linear
+        # (linear = TIMING DIAGNOSTIC ONLY, wrong math).
+        mode = os.environ.get("SVC_GELU_MODE", "auto")
+        if mode == "auto":
+            mode = "tanh" if self.dtype == jnp.bfloat16 else "exact"
         if mode == "linear":
             g = gate
         else:
-            g = nn.gelu(
-                gate.astype(jnp.float32), approximate=(mode == "tanh")
-            ).astype(x.dtype)
+            g = nn.gelu(gate, approximate=(mode == "tanh"))
         h = val * g
         return nn.Dense(
             dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"

@@ -176,6 +176,43 @@ def test_group_norm_matches_flax():
         )
 
 
+def test_gelu_policy():
+    """auto-GELU: exact erf for fp32 models (parity contract), tanh approx
+    for bf16 (deviation <= 4.7e-4 abs — within one bf16 ulp, round-3
+    journal). Checks the mode wiring and the deviation bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_virtual_camera_tpu.models.unet import FeedForward
+
+    rng = np.random.default_rng(7)
+    x32 = jnp.asarray(rng.normal(size=(3, 11, 64)).astype(np.float32))
+
+    ff32 = FeedForward(dtype=jnp.float32, param_dtype=jnp.float32)
+    params = ff32.init(jax.random.PRNGKey(0), x32)
+    out_auto = ff32.apply(params, x32)
+
+    import os
+
+    os.environ["SVC_GELU_MODE"] = "exact"
+    try:
+        out_exact = ff32.apply(params, x32)
+    finally:
+        os.environ.pop("SVC_GELU_MODE")
+    # fp32 auto == exact erf (bitwise: same graph)
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_exact))
+
+    # the tanh deviation stays within the documented bound on fp32 inputs
+    os.environ["SVC_GELU_MODE"] = "tanh"
+    try:
+        out_tanh = ff32.apply(params, x32)
+    finally:
+        os.environ.pop("SVC_GELU_MODE")
+    dev = np.abs(np.asarray(out_tanh) - np.asarray(out_exact))
+    # deviation passes through proj_out, bound loosened by its gain
+    assert dev.max() < 5e-3, dev.max()
+
+
 def test_layer_norm_fp32_matches_flax():
     import flax.linen as nn
     import jax
