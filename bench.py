@@ -120,9 +120,13 @@ def main() -> None:
     # decode ALL T frames as one flat batch in one dispatch: measured 2.82 s
     # vs 3.86 s for lax.map chunks of 7 (benchmark/attn_block_sweep.py decode
     # probe, round-3 journal) — the map's sequential sub-batches serialize
-    # what the flat batch overlaps, and 21 x 576^2 activations fit HBM
+    # what the flat batch overlaps, and 21 x 576^2 activations fit HBM.
+    # decode_uint8: frames leave the device already quantized for the 8-bit
+    # sink (what the save path consumes) — 4x less device->host traffic.
     decode = jax.jit(
-        lambda p, zs: vae.apply({"params": p}, zs, method=AutoEncoderKL.decode)
+        lambda p, zs: vae.apply(
+            {"params": p}, zs, method=AutoEncoderKL.decode_uint8
+        )
     )
     zj = jnp.asarray(z)
     sync(decode(vae_params, zj))  # compile

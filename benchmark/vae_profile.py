@@ -1,9 +1,9 @@
-"""One-shot jax.profiler capture of a single VAE-decode dispatch (chunk of 3
-frames at 576², bf16) + per-op category table. Only the FIRST capture per
-executable is trustworthy on the axon relay (docs/ARCHITECTURE.md), so this
-script profiles exactly one run."""
+"""One-shot jax.profiler capture of a full-scale VAE decode (21 frames @
+576^2 out) + category/fusion tables. First capture per executable only
+(docs/ARCHITECTURE.md relay caveat)."""
 
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -12,17 +12,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
-from stable_virtual_camera_tpu.utils.trace_analysis import summarize
+from stable_virtual_camera_tpu.utils.trace_analysis import (
+    summarize,
+    top_fusion_details,
+)
 
-B = 3
+T, h, w = 21, 72, 72
 LOGDIR = "/tmp/vae_trace"
 
 
 def main():
     vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
-    )
 
     def fill(path, s):
         name = path[-1].key
@@ -36,16 +36,26 @@ def main():
             * (1.0 / max(fan_in, 1)) ** 0.5
         ).astype(s.dtype)
 
-    params = jax.tree_util.tree_map_with_path(fill, shapes)
-    decode = jax.jit(
-        lambda p, z: vae.apply({"params": p}, z, method=AutoEncoderKL.decode)
+    params = jax.tree_util.tree_map_with_path(
+        fill,
+        jax.eval_shape(
+            lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+                "params"
+            ]
+        ),
     )
-    z = jax.random.normal(jax.random.PRNGKey(1), (B, 72, 72, 4), jnp.float32)
-    np.asarray(decode(params, z))  # compile outside the trace
-    z2 = z * 1.001
+    decode = jax.jit(
+        lambda p, zs: vae.apply({"params": p}, zs, method=AutoEncoderKL.decode)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (T, h, w, 4), jnp.float32)
+    np.asarray(decode(params, z)[0, 0, 0, 0])  # compile
+    t0 = time.perf_counter()
+    np.asarray(decode(params, z * 1.001)[0, 0, 0, 0])
+    print(f"decode wall: {(time.perf_counter() - t0):.3f} s", flush=True)
     with jax.profiler.trace(LOGDIR):
-        np.asarray(decode(params, z2))
-    summarize(LOGDIR, top=25)
+        np.asarray(decode(params, z * 1.002)[0, 0, 0, 0])
+    print(summarize(LOGDIR, top=16))
+    print(top_fusion_details(LOGDIR, top=10))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,9 @@ class VaeApplier:
         # encoding_t/decoding_t python loop becomes a sequential on-device map)
         enc = jax.jit(lambda p, x: module.apply({"params": p}, x, method=module.encode))
         dec = jax.jit(lambda p, z: module.apply({"params": p}, z, method=module.decode))
+        dec_u8 = jax.jit(
+            lambda p, z: module.apply({"params": p}, z, method=module.decode_uint8)
+        )
         enc_map = jax.jit(
             lambda p, xs: jax.lax.map(
                 lambda xc: module.apply({"params": p}, xc, method=module.encode), xs
@@ -91,10 +94,20 @@ class VaeApplier:
                 lambda zc: module.apply({"params": p}, zc, method=module.decode), zs
             )
         )
+        dec_u8_map = jax.jit(
+            lambda p, zs: jax.lax.map(
+                lambda zc: module.apply(
+                    {"params": p}, zc, method=module.decode_uint8
+                ),
+                zs,
+            )
+        )
         self._encode = lambda x: enc(self.params, x)
         self._decode = lambda z: dec(self.params, z)
+        self._decode_u8 = lambda z: dec_u8(self.params, z)
         self._encode_map = lambda xs: enc_map(self.params, xs)
         self._decode_map = lambda zs: dec_map(self.params, zs)
+        self._decode_u8_map = lambda zs: dec_u8_map(self.params, zs)
 
     def _chunked(self, fn, map_fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
         if x.shape[0] == 0:
@@ -119,13 +132,28 @@ class VaeApplier:
     def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
         return self._chunked(self._decode, self._decode_map, z, chunk_size)
 
-    def decode_async(self, z: jnp.ndarray, chunk_size: int | None = None):
+    def decode_async(
+        self,
+        z: jnp.ndarray,
+        chunk_size: int | None = None,
+        uint8: bool = False,
+    ):
         """Device-to-device decode: accepts the denoiser's device array and
         returns a device array WITHOUT host sync — lets the engine queue
         chunk k's decode behind chunk k+1's denoise (chunk pipelining,
         SURVEY.md §7 hard part 7; the reference serializes these,
-        eval.py:1317-1318)."""
+        eval.py:1317-1318).
+
+        uint8=True quantizes on device (AutoEncoderKL.decode_uint8,
+        byte-identical to the host saving.to_uint8 path): 4x less
+        device->host transfer for frames whose only consumer is the 8-bit
+        save sink — use it wherever frames are not re-fed to the model."""
         n = z.shape[0]
+        dec, dec_map = (
+            (self._decode_u8, self._decode_u8_map)
+            if uint8
+            else (self._decode, self._decode_map)
+        )
 
         def pad_to(x, m):
             return (
@@ -136,12 +164,12 @@ class VaeApplier:
 
         if not chunk_size or chunk_size >= n:
             bucket = 1 << (n - 1).bit_length()
-            return self._decode(pad_to(z, bucket))[:n]
+            return dec(pad_to(z, bucket))[:n]
         n_chunks = -(-n // chunk_size)
         zs = pad_to(z, n_chunks * chunk_size).reshape(
             (n_chunks, chunk_size) + z.shape[1:]
         )
-        out = self._decode_map(zs)
+        out = dec_map(zs)
         return out.reshape((n_chunks * chunk_size,) + out.shape[2:])[:n]
 
 
@@ -251,6 +279,7 @@ def sample_chunk(
     progress_cb=None,
     abort_event=None,
     defer: bool = False,
+    output_uint8: bool = False,
 ) -> np.ndarray | None:
     """One chunk's conditioning + denoising + decode
     (reference seva/eval.py:1218-1321 `do_sample`).
@@ -258,7 +287,11 @@ def sample_chunk(
     `defer=True` returns the decoded frames as a DEVICE array without host
     sync, so the caller can dispatch the next chunk while this one finishes
     (chunk pipelining — valid whenever chunks are independent, i.e. the
-    second pass)."""
+    second pass).
+
+    `output_uint8=True` quantizes frames on device before the host transfer
+    (4x fewer bytes; byte-identical to the host to_uint8 path) — only valid
+    when the chunk's frames are final output, never re-fed to the model."""
     cond, (T, h, w, C) = build_chunk_conditioning(
         bundle, values, cfg=cfg, guider_type=guider_type, cfg_min=cfg_min,
         encoding_t=encoding_t, latent_downsample=latent_downsample,
@@ -272,7 +305,7 @@ def sample_chunk(
     if x is None:
         return None
     # decode consumes the denoiser's device array directly (no re-upload)
-    out = bundle.vae.decode_async(x, decoding_t)
+    out = bundle.vae.decode_async(x, decoding_t, uint8=output_uint8)
     return out if defer else np.asarray(out)
 
 
@@ -839,7 +872,8 @@ class SceneEngine:
                     keys_n, bundle.plan(num_steps), conds_n, shape
                 )
                 for j, (i, c_test_sels, c_test_inds, curr, _) in enumerate(group):
-                    out_dev = bundle.vae.decode_async(xs_n[j], dec_t)
+                    # second-pass frames are final output: quantize on device
+                    out_dev = bundle.vae.decode_async(xs_n[j], dec_t, uint8=True)
                     _flush_second_pass_chunk(
                         (out_dev, i, c_test_sels, c_test_inds, curr)
                     )
@@ -860,6 +894,7 @@ class SceneEngine:
                     # chunk i's decode queues on-device behind chunk i+1's
                     # denoise; the host materializes one chunk behind
                     defer=True,
+                    output_uint8=True,
                 )
                 if samples_dev is None:
                     return

@@ -19,8 +19,13 @@ from stable_virtual_camera_tpu.utils.video import write_video
 
 
 def to_uint8(value: np.ndarray) -> np.ndarray:
-    """(N, H, W, 3) [-1, 1] float -> uint8."""
-    v = (np.asarray(value, np.float32) + 1.0) / 2.0
+    """(N, H, W, 3) [-1, 1] float -> uint8. Already-uint8 frames (device-side
+    quantization, AutoEncoderKL.decode_uint8 — byte-identical math) pass
+    through untouched."""
+    value = np.asarray(value)
+    if value.dtype == np.uint8:
+        return value
+    v = (value.astype(np.float32) + 1.0) / 2.0
     return np.clip(v * 255.0, 0, 255).astype(np.uint8)
 
 
@@ -127,7 +132,10 @@ def replace_or_include_input_for_dict(
     samples_new = {}
     for sample, value in samples.items():
         if "rgb" in sample:
-            imgs = imgs.copy()
+            # generated frames may arrive pre-quantized from the device
+            # (decode_uint8); quantize the gt inputs the same way before
+            # splicing so dtypes agree and bytes match the all-float path
+            imgs = to_uint8(imgs) if value.dtype == np.uint8 else imgs.copy()
             imgs[test_indices] = (
                 value[test_indices] if value.shape[0] == imgs.shape[0] else value
             )

@@ -242,5 +242,18 @@ class AutoEncoderKL(nn.Module):
         z = (z / SCALE_FACTOR).astype(self.dtype)
         return self.decoder(self.post_quant_conv(z)).astype(jnp.float32)
 
+    def decode_uint8(self, z):
+        """Decode straight to uint8 images ON DEVICE. The consumer of decoded
+        frames is always an 8-bit sink (PNG/mp4, engine/saving.to_uint8), and
+        quantizing before the device->host transfer moves 4x fewer bytes —
+        through this image's relay tunnel that is ~2 s of the 21-frame decode
+        (round-3 journal); on any real host it still quarters PCIe traffic.
+        Op order mirrors engine/saving.to_uint8 exactly ((x+1)/2 then *255,
+        IEEE fp32, floor == numpy uint8 truncation) so bytes match the host
+        path bit-for-bit."""
+        x = self.decode(z)
+        v = ((x + 1.0) / 2.0) * 255.0
+        return jnp.floor(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint8)
+
     def __call__(self, x):
         return self.decode(self.encode(x))

@@ -65,6 +65,51 @@ def test_vae_shapes_and_roundtrip():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_vae_decode_uint8_matches_host_quantization():
+    """Device-side uint8 quantization (decode_uint8) must be byte-identical
+    to the host path (engine/saving.to_uint8 on decode's fp32 output) — the
+    engine relies on this to ship second-pass frames as uint8."""
+    from stable_virtual_camera_tpu.engine.saving import to_uint8
+
+    vae = AutoEncoderKL()
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3), minval=-1, maxval=1)
+    params = vae.init(jax.random.PRNGKey(0), x)["params"]
+    z = vae.apply({"params": params}, x, method=AutoEncoderKL.encode)
+    f32 = np.asarray(vae.apply({"params": params}, z, method=AutoEncoderKL.decode))
+    u8 = np.asarray(
+        vae.apply({"params": params}, z, method=AutoEncoderKL.decode_uint8)
+    )
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, to_uint8(f32))
+    # to_uint8 passes already-quantized frames through untouched
+    np.testing.assert_array_equal(to_uint8(u8), u8)
+
+
+def test_replace_input_handles_uint8_samples():
+    """Splicing float gt inputs into uint8 generated frames quantizes the gt
+    side identically to the all-float path."""
+    from stable_virtual_camera_tpu.engine.saving import (
+        replace_or_include_input_for_dict,
+        to_uint8,
+    )
+
+    rng = np.random.default_rng(0)
+    gen = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    imgs = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    c2w = np.eye(4)[None].repeat(4, 0)
+    K = np.eye(3)[None].repeat(4, 0)
+    test_idx = [1, 3]
+    f_out = replace_or_include_input_for_dict(
+        {"samples-rgb/image": gen}, test_idx, imgs.copy(), c2w, K
+    )
+    u_out = replace_or_include_input_for_dict(
+        {"samples-rgb/image": to_uint8(gen)}, test_idx, imgs.copy(), c2w, K
+    )
+    np.testing.assert_array_equal(
+        to_uint8(f_out["samples-rgb/image"]), u_out["samples-rgb/image"]
+    )
+
+
 def test_clip_open_clip_converter_coverage():
     spec = ClipVisionSpec.tiny()
     tower = ClipVisionTower(spec)
