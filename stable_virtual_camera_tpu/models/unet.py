@@ -141,12 +141,54 @@ class Attention(nn.Module):
         )
         if time_frames is not None:
             # Temporal self-attention WITHOUT the (b*T,S,C)->(b*S,T,C)
-            # transpose: contract over the frame axis of the 5-D view with a
-            # batched einsum (batch = b, s, h; T is tiny, 21 — einsum beats
-            # any flash kernel here and XLA folds the layout into the
-            # surrounding matmuls).
+            # transpose (reference transformer.py:149,154). Two backends:
+            #  * Pallas lane-batched kernel (ops/time_attention.py): the
+            #    b*S*H tiny 21x21 attentions batch over the VPU lane axis,
+            #    scores stay in VMEM. 6.8 vs 13.2 ms/layer at ds1 measured
+            #    (benchmark/timemix_probe.py, round 3).
+            #  * batched einsum over the 5-D view (CPU/parity fallback).
             B, S, C = x.shape
             b = B // time_frames
+            if self.use_pallas and os.environ.get("SVC_TIME_PALLAS", "1") == "1":
+                from stable_virtual_camera_tpu.models.common import DenseParams
+                from stable_virtual_camera_tpu.ops.time_attention import (
+                    time_attention_bhds,
+                )
+
+                (w_qkv,) = DenseParams(
+                    (C, 3 * inner),
+                    use_bias=False,
+                    param_dtype=self.param_dtype,
+                    name="qkv",
+                )()
+                w3 = w_qkv.astype(self.dtype).reshape(
+                    C, 3, self.heads, self.dim_head
+                )
+                xq = x.astype(self.dtype)
+                # projections write the kernel's (B, H, D, S) lane-major
+                # layout straight from the GEMM epilogue; to_out consumes it
+                # the same way (zero transpose ops around the kernel, same
+                # trick as the flash path below)
+                q = jnp.einsum("bsc,chd->bhds", xq, w3[:, 0])
+                k = jnp.einsum("bsc,chd->bhds", xq, w3[:, 1])
+                v = jnp.einsum("bsc,chd->bhds", xq, w3[:, 2])
+                o = time_attention_bhds(q, k, v, time_frames)
+                w_out, b_out = DenseParams(
+                    (inner, query_dim),
+                    use_bias=True,
+                    param_dtype=self.param_dtype,
+                    name="to_out",
+                )()
+                return (
+                    jnp.einsum(
+                        "bhds,hdc->bsc",
+                        o,
+                        w_out.astype(self.dtype).reshape(
+                            self.heads, self.dim_head, query_dim
+                        ),
+                    )
+                    + b_out.astype(self.dtype)
+                )
             qkv = dense(3 * inner, "qkv", False)(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -172,8 +214,6 @@ class Attention(nn.Module):
             return jnp.broadcast_to(out, x.shape[:-1] + (query_dim,))
         L = x.shape[1]
         if context is None and self.ring_axis is None and self.use_pallas:
-            import os
-
             if (
                 os.environ.get("SVC_UPSTREAM_FLASH", "1") == "1"
                 and self.dim_head == 64

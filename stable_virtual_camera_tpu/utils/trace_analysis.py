@@ -106,8 +106,32 @@ def top_fusion_details(logdir: str, top: int = 10) -> str:
     return "\n".join(lines)
 
 
+def instances(logdir: str, top: int = 40, name_filter: str = "") -> str:
+    """Every individual device-op INSTANCE (not family-aggregated), sorted by
+    duration — finds which specific conv/matmul shapes dominate a family
+    bucket. Repeated executions of the same HLO instruction are summed."""
+    events = load_trace(logdir)
+    per_instr = collections.Counter()
+    longs: dict[str, str] = {}
+    for e in device_events(events):
+        name = e.get("name", "?")
+        if name.startswith("jit_"):
+            continue
+        if name_filter and name_filter not in name:
+            continue
+        per_instr[name] += e["dur"]
+        if name not in longs:
+            longs[name] = e.get("args", {}).get("long_name", "")
+    lines = [f"-- top {top} op instances (ms) --"]
+    for op, dur in per_instr.most_common(top):
+        lines.append(f"{dur / 1e3:8.2f}  {op}\n          {longs[op][:300]}")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
     print(summarize(logdir))
     if "--fusions" in sys.argv:
         print(top_fusion_details(logdir))
+    if "--instances" in sys.argv:
+        print(instances(logdir, top=50))

@@ -146,6 +146,53 @@ def test_flash_trainable_grads_match_xla():
         )
 
 
+def test_time_attention_kernel_matches_einsum():
+    """ops/time_attention.time_attention_bhds (interpret mode) == the batched
+    einsum temporal attention, including the S lane-padding path (S=81)."""
+    from stable_virtual_camera_tpu.ops.time_attention import time_attention_bhds
+
+    rng = np.random.default_rng(7)
+    for b, T, S, H, D, s_block in [(2, 21, 81, 2, 64, 128), (1, 5, 256, 3, 16, 128)]:
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(b * T, H, D, S)).astype(np.float32))
+            for _ in range(3)
+        )
+        out = time_attention_bhds(q, k, v, T, s_block=s_block, interpret=True)
+        qh = q.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        kh = k.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        vh = v.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        s = jnp.einsum("bqshd,bkshd->bshqk", qh, kh) * (D**-0.5)
+        p = jax.nn.softmax(s, -1)
+        ref = (
+            jnp.einsum("bshqk,bkshd->bqshd", p, vh)
+            .reshape(b * T, S, H, D)
+            .transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_time_attention_model_path_matches_einsum_path():
+    """Attention(time_frames=...) with the Pallas backend (interpret mode) ==
+    the einsum fallback, same params — the layout-fused projections must be
+    numerically equivalent to the Dense path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stable_virtual_camera_tpu.models.unet import Attention
+
+    rng = np.random.default_rng(9)
+    b, T, S, C = 2, 7, 81, 64
+    x = jnp.asarray(rng.normal(size=(b * T, S, C)).astype(np.float32))
+    att_ein = Attention(heads=2, dim_head=32, use_pallas=False)
+    att_pl = Attention(heads=2, dim_head=32, use_pallas=True)
+    params = att_ein.init(jax.random.PRNGKey(0), x, time_frames=T)["params"]
+    ref = att_ein.apply({"params": params}, x, time_frames=T)
+    with pltpu.force_tpu_interpret_mode():
+        out = att_pl.apply({"params": params}, x, time_frames=T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
 def test_group_norm_matches_flax():
     """ops/norms.group_norm_nhwc == flax nn.GroupNorm (fp32 two-pass) at
     model-activation scales, including a mean-offset case that stresses the
