@@ -152,6 +152,7 @@ class Attention(nn.Module):
             if self.use_pallas and os.environ.get("SVC_TIME_PALLAS", "1") == "1":
                 from stable_virtual_camera_tpu.models.common import DenseParams
                 from stable_virtual_camera_tpu.ops.time_attention import (
+                    pick_s_block,
                     time_attention_bhds,
                 )
 
@@ -165,6 +166,14 @@ class Attention(nn.Module):
                     C, 3, self.heads, self.dim_head
                 )
                 xq = x.astype(self.dtype)
+                # pad x ONCE to the kernel's lane-block multiple (vs padding
+                # q/k/v separately: three 139 MB pad copies per layer at ds1);
+                # the padded rows ride the projections/kernel/to_out as
+                # lane-local garbage and are sliced off at the end
+                sb = pick_s_block(S)
+                S_pad = -(-S // sb) * sb
+                if S_pad != S:
+                    xq = jnp.pad(xq, ((0, 0), (0, S_pad - S), (0, 0)))
                 # projections write the kernel's (B, H, D, S) lane-major
                 # layout straight from the GEMM epilogue; to_out consumes it
                 # the same way (zero transpose ops around the kernel, same
@@ -172,14 +181,14 @@ class Attention(nn.Module):
                 q = jnp.einsum("bsc,chd->bhds", xq, w3[:, 0])
                 k = jnp.einsum("bsc,chd->bhds", xq, w3[:, 1])
                 v = jnp.einsum("bsc,chd->bhds", xq, w3[:, 2])
-                o = time_attention_bhds(q, k, v, time_frames)
+                o = time_attention_bhds(q, k, v, time_frames, s_block=sb)
                 w_out, b_out = DenseParams(
                     (inner, query_dim),
                     use_bias=True,
                     param_dtype=self.param_dtype,
                     name="to_out",
                 )()
-                return (
+                out = (
                     jnp.einsum(
                         "bhds,hdc->bsc",
                         o,
@@ -189,6 +198,7 @@ class Attention(nn.Module):
                     )
                     + b_out.astype(self.dtype)
                 )
+                return out[:, :S] if S_pad != S else out
             qkv = dense(3 * inner, "qkv", False)(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 

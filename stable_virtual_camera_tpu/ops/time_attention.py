@@ -55,6 +55,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, T: int, scale: float):
         o_ref[t, 0] = jnp.sum(pv, axis=0).astype(o_ref.dtype)
 
 
+def pick_s_block(S: int, candidates: tuple[int, ...] = (512, 256, 128)) -> int:
+    """Largest lane-block with <=4% cdiv padding waste, else waste-minimizing.
+    Callers that pad their activations BEFORE the q/k/v projections (one pad
+    of x instead of three pads of q/k/v — models/unet.py time path) need the
+    block choice up front."""
+    def waste(b: int) -> float:
+        return (-(-S // b) * b) / S
+
+    ok = [b for b in candidates if waste(b) <= 1.04]
+    return max(ok) if ok else min(candidates, key=waste)
+
+
 def time_attention_bhds(
     q: jnp.ndarray,  # (b*T, H, D, S) — spatial in lanes
     k: jnp.ndarray,
