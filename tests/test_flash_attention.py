@@ -146,6 +146,30 @@ def test_flash_trainable_grads_match_xla():
         )
 
 
+@pytest.mark.parametrize(
+    "B,H,L,D",
+    [
+        (1, 2, 1296, 64),  # zero-pad path (1296 = 648*2)
+        (1, 1, 850, 64),   # masked last-block path
+    ],
+)
+def test_flash_v2_matches_xla_interpret(B, H, L, D):
+    """ops/flash_v2 (software-pipelined, lagged-V drain) == plain einsum
+    attention, both the unpadded and the masked-tail block layouts."""
+    from stable_virtual_camera_tpu.ops.flash_v2 import flash_v2_bhld
+
+    rng = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = flash_v2_bhld(q, k, v, interpret=True)
+    s = jnp.einsum("bhld,bhsd->bhls", q, k) * (D**-0.5)
+    p = jax.nn.softmax(s, -1)
+    ref = jnp.einsum("bhls,bhsd->bhld", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-2)
+
+
 def test_time_attention_kernel_matches_einsum():
     """ops/time_attention.time_attention_bhds (interpret mode) == the batched
     einsum temporal attention, including the S lane-padding path (S=81)."""
