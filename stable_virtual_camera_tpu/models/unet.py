@@ -149,7 +149,13 @@ class Attention(nn.Module):
             #  * batched einsum over the 5-D view (CPU/parity fallback).
             B, S, C = x.shape
             b = B // time_frames
-            if self.use_pallas and os.environ.get("SVC_TIME_PALLAS", "1") == "1":
+            # SVC_TIME_PALLAS: auto (default, TPU backends only) | 1 (force,
+            # e.g. interpret-mode tests) | 0 (einsum fallback for A/B)
+            tp_mode = os.environ.get("SVC_TIME_PALLAS", "auto")
+            if self.use_pallas and (
+                tp_mode == "1"
+                or (tp_mode == "auto" and jax.default_backend() in ("tpu", "axon"))
+            ):
                 from stable_virtual_camera_tpu.models.common import DenseParams
                 from stable_virtual_camera_tpu.ops.time_attention import (
                     pick_s_block,
@@ -253,7 +259,20 @@ class Attention(nn.Module):
                 q = jnp.einsum("blc,chd->bhld", xq, w3[:, 0])
                 k = jnp.einsum("blc,chd->bhld", xq, w3[:, 1])
                 v = jnp.einsum("blc,chd->bhld", xq, w3[:, 2])
-                o = flash_attention_upstream_bhld(q, k, v)  # (B, H, L, D)
+                # per-shape kernel dispatch: the software-pipelined v2
+                # kernel where it measured faster (ops/flash_v2.V2_WINS),
+                # the tuned upstream kernel otherwise. SVC_FLASH_V2=0/1
+                # forces one side for A/B runs.
+                from stable_virtual_camera_tpu.ops.flash_v2 import (
+                    V2_WINS,
+                    flash_v2_bhld,
+                )
+
+                v2_mode = os.environ.get("SVC_FLASH_V2", "auto")
+                if v2_mode == "1" or (v2_mode == "auto" and L in V2_WINS):
+                    o = flash_v2_bhld(q, k, v)  # (B, H, L, D)
+                else:
+                    o = flash_attention_upstream_bhld(q, k, v)
                 w_out, b_out = DenseParams(
                     (inner, query_dim),
                     use_bias=True,

@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
+# Sequence lengths where v2 beat the tuned upstream kernel on a v5e chip
+# (benchmark/flash_v2_probe.py, in-scan dependent-call loops; round-3
+# journal). The model dispatches per-shape: v2 for these, upstream
+# otherwise (models/unet.Attention, SVC_FLASH_V2=auto).
+V2_WINS: frozenset[int] = frozenset()
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m

@@ -67,7 +67,7 @@ def pick_s_block(S: int, candidates: tuple[int, ...] = (512, 256, 128)) -> int:
     return max(ok) if ok else min(candidates, key=waste)
 
 
-def time_attention_bhds(
+def _kernel_call(
     q: jnp.ndarray,  # (b*T, H, D, S) — spatial in lanes
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -104,3 +104,54 @@ def time_attention_bhds(
         interpret=interpret,
     )(q, k, v)
     return out[..., :S] if S_pad != S else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def time_attention_bhds(
+    q: jnp.ndarray,  # (b*T, H, D, S) — spatial in lanes
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_frames: int,
+    s_block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Temporal attention over the frame axis; returns (b*T, H, D, S).
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes the tiny per-position attentions as fp32 XLA einsums (the
+    standard SDPA backward — T is ~21, so recompute is cheap and the kernel
+    needs no bwd variant). Training paths (training/, SURVEY §beyond-ref)
+    take grads through the UNet, which reaches this op when use_pallas=True."""
+    return _kernel_call(q, k, v, num_frames, s_block, interpret)
+
+
+def _fwd(q, k, v, num_frames, s_block, interpret):
+    return _kernel_call(q, k, v, num_frames, s_block, interpret), (q, k, v)
+
+
+def _bwd(num_frames, s_block, interpret, res, do):
+    q, k, v = res
+    BT, H, D, S = q.shape
+    T = num_frames
+    b = BT // T
+    scale = D**-0.5
+
+    def view(t):  # (b, T, H, D, S) fp32
+        return t.reshape(b, T, H, D, S).astype(jnp.float32)
+
+    qf, kf, vf, dof = view(q), view(k), view(v), view(do)
+    s = jnp.einsum("bthds,buhds->bhtus", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=3)  # over the key-frame axis u
+    dv = jnp.einsum("bhtus,bthds->buhds", p, dof)
+    dp = jnp.einsum("bthds,buhds->bhtus", dof, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=3, keepdims=True)) * scale
+    dq = jnp.einsum("bhtus,buhds->bthds", ds, kf)
+    dk = jnp.einsum("bhtus,bthds->buhds", ds, qf)
+
+    def back(t):
+        return t.reshape(BT, H, D, S).astype(q.dtype)
+
+    return back(dq), back(dk), back(dv)
+
+
+time_attention_bhds.defvjp(_fwd, _bwd)

@@ -197,13 +197,49 @@ def test_time_attention_kernel_matches_einsum():
         )
 
 
-def test_time_attention_model_path_matches_einsum_path():
+def test_time_attention_grads_match_einsum():
+    """time_attention_bhds's custom VJP (einsum-recompute backward) ==
+    autodiff through the reference einsum formulation."""
+    from stable_virtual_camera_tpu.ops.time_attention import time_attention_bhds
+
+    rng = np.random.default_rng(13)
+    b, T, S, H, D = 1, 5, 64, 2, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b * T, H, D, S)).astype(np.float32))
+        for _ in range(3)
+    )
+    cot = jnp.asarray(rng.normal(size=(b * T, H, D, S)).astype(np.float32))
+
+    def ref(q, k, v):
+        qh = q.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        kh = k.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        vh = v.transpose(0, 3, 1, 2).reshape(b, T, S, H, D)
+        s = jnp.einsum("bqshd,bkshd->bshqk", qh, kh) * (D**-0.5)
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bshqk,bkshd->bqshd", p, vh)
+        return o.reshape(b * T, S, H, D).transpose(0, 2, 3, 1)
+
+    loss_k = lambda *a: jnp.sum(  # noqa: E731
+        time_attention_bhds(*a, T, 32, True) * cot
+    )
+    loss_r = lambda *a: jnp.sum(ref(*a) * cot)  # noqa: E731
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(gk, gr, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_time_attention_model_path_matches_einsum_path(monkeypatch):
     """Attention(time_frames=...) with the Pallas backend (interpret mode) ==
     the einsum fallback, same params — the layout-fused projections must be
     numerically equivalent to the Dense path."""
     from jax.experimental.pallas import tpu as pltpu
 
     from stable_virtual_camera_tpu.models.unet import Attention
+
+    monkeypatch.setenv("SVC_TIME_PALLAS", "1")  # force past the platform gate
 
     rng = np.random.default_rng(9)
     b, T, S, C = 2, 7, 81, 64
