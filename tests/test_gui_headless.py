@@ -118,6 +118,7 @@ def _basic_pre(W=64, H=64):
     }
 
 
+@pytest.mark.slow  # engine-scale: full two-pass render, ~2 min on this box
 def test_prepare_plan_counts_and_streaming(tiny_renderer):
     plan = tiny_renderer.prepare(
         _basic_pre(),
@@ -153,6 +154,7 @@ def test_prepare_plan_counts_and_streaming(tiny_renderer):
     assert calls["second"] == plan["second_pass_steps"]
 
 
+@pytest.mark.slow
 def test_prepare_forces_interp_above_10_views(tiny_renderer):
     from conftest import random_c2ws
 
