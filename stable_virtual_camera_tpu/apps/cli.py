@@ -238,6 +238,29 @@ def _build_bundle(checkpoint_dir, random_model, use_pallas=True, mesh_view=None,
         mesh = make_mesh(n_data=n_data, n_view=n_view)
         print(f"[cli] mesh sampling: data={n_data} x view={n_view} devices")
     if random_model:
+        if str(random_model).lower() == "full":
+            # full 1.3B-scale bf16 random weights: exercises the REAL compute
+            # path (Pallas kernels, bf16 islands, full shapes) without the
+            # released checkpoint — the end-to-end scenario benchmark
+            # (benchmark/e2e_bench.py) and full-scale quality-eval dry runs
+            print("[cli] --random_model full: full-scale bf16 random bundle")
+            import jax.numpy as jnp
+
+            from stable_virtual_camera_tpu.config import SevaSpec
+            from stable_virtual_camera_tpu.models.clip import ClipVisionSpec
+
+            return (
+                mio.random_bundle(
+                    spec=SevaSpec(),
+                    clip_spec=ClipVisionSpec(),
+                    image_hw=(576, 576),
+                    dtype=jnp.bfloat16,
+                    param_dtype=jnp.bfloat16,
+                    use_pallas=use_pallas,
+                    mesh=mesh,
+                ),
+                False,
+            )
         print("[cli] --random_model: tiny randomly initialized bundle (smoke mode)")
         return mio.random_bundle(mesh=mesh), True
     if checkpoint_dir is None:
