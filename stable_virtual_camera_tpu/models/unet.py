@@ -150,11 +150,22 @@ class Attention(nn.Module):
             B, S, C = x.shape
             b = B // time_frames
             # SVC_TIME_PALLAS: auto (default, TPU backends only) | 1 (force,
-            # e.g. interpret-mode tests) | 0 (einsum fallback for A/B)
+            # e.g. interpret-mode tests) | 0 (einsum fallback for A/B).
+            # T cap: the kernel's VMEM scratch/tiles scale with T and T^2
+            # (unrolled frame loops, (T,T,s_block) score scratch) — beyond
+            # ~32 frames (the semi-dense large-T regime grows T to 96,
+            # docs/CLI_USAGE.md) the einsum path is the safe choice.
             tp_mode = os.environ.get("SVC_TIME_PALLAS", "auto")
-            if self.use_pallas and (
-                tp_mode == "1"
-                or (tp_mode == "auto" and jax.default_backend() in ("tpu", "axon"))
+            if (
+                self.use_pallas
+                and time_frames <= 32
+                and (
+                    tp_mode == "1"
+                    or (
+                        tp_mode == "auto"
+                        and jax.default_backend() in ("tpu", "axon")
+                    )
+                )
             ):
                 from stable_virtual_camera_tpu.models.common import DenseParams
                 from stable_virtual_camera_tpu.ops.time_attention import (
