@@ -197,6 +197,27 @@ def test_time_attention_kernel_matches_einsum():
         )
 
 
+def test_flash_v2_model_dispatch_matches_einsum(monkeypatch):
+    """Attention's layout-fused flash path with SVC_FLASH_V2=1 (interpret
+    mode) == the plain einsum path at the same params: proves the per-shape
+    dispatch wiring + the v2 kernel end-to-end through the module."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stable_virtual_camera_tpu.models.unet import Attention
+
+    monkeypatch.setenv("SVC_FLASH_V2", "1")
+    rng = np.random.default_rng(17)
+    B, L, C = 2, 1296, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32) * 0.3)
+    att_ref = Attention(heads=2, dim_head=64, use_pallas=False)
+    att_v2 = Attention(heads=2, dim_head=64, use_pallas=True)
+    params = att_ref.init(jax.random.PRNGKey(0), x)["params"]
+    ref = att_ref.apply({"params": params}, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = att_v2.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-2)
+
+
 def test_time_attention_grads_match_einsum():
     """time_attention_bhds's custom VJP (einsum-recompute backward) ==
     autodiff through the reference einsum formulation."""
