@@ -4,8 +4,9 @@ Capability parity with reference seva/modules/preprocessor.py:12-116
 (`Dust3rPipeline.infer_cameras_and_points`): run a stereo network over all
 image pairs, globally align to recover per-image intrinsics, c2w poses and
 confidence-masked point clouds, rescaling intrinsics to the original
-resolution. This stays a host-side torch stage (BASELINE.json north star) —
-pose estimation feeds device buffers.
+resolution. The stereo network stays a host-side torch stage, but the
+global-alignment optimization (500 Adam steps on GPU in the reference) runs
+natively here — core/global_alignment.py, one jitted optax loop.
 
 The dust3r package (a git submodule in the reference, not checked out there
 either) is not available in this image; the pipeline raises a clear error at
@@ -58,11 +59,20 @@ class Dust3rPipeline:
         min_conf_thr: int = 3,
     ):
         """Returns (imgs [0..1], Ks, c2ws, points per image, colors per image),
-        matching the reference's contract (preprocessor.py:47-116)."""
-        import torch
+        matching the reference's contract (preprocessor.py:47-116).
+
+        The stereo network runs through the external dust3r package; global
+        alignment runs NATIVELY (core/global_alignment.py: MST + weighted
+        Umeyama init, one jitted optax.adam loop) — the reference instead
+        hands this stage to dust3r's torch PointCloudOptimizer
+        (preprocessor.py:78-101)."""
         from dust3r.image_pairs import make_pairs  # type: ignore
         from dust3r.utils.image import load_images  # type: ignore
-        from dust3r.cloud_opt import GlobalAlignerMode, global_aligner  # type: ignore
+
+        from stable_virtual_camera_tpu.core.global_alignment import (
+            edges_from_dust3r_output,
+            global_align,
+        )
 
         num_img = len(img_paths)
         images = load_images(img_paths, size=512)
@@ -76,20 +86,24 @@ class Dust3rPipeline:
         output = self._inference(
             pairs, self.model, self.device, batch_size=batch_size
         )
-        scene = global_aligner(
-            output,
-            device=self.device,
-            mode=GlobalAlignerMode.PointCloudOptimizer,
-            same_focals=True,
+        scene = global_align(
+            edges_from_dust3r_output(output),
+            niter=niter,
+            lr=lr,
+            schedule=schedule,
+            same_focals=True,  # preprocessor.py:79
         )
-        _ = scene.compute_global_alignment(
-            init="mst", niter=niter, schedule=schedule, lr=lr
-        )
-        imgs = np.array(scene.imgs)
-        Ks = scene.get_intrinsics().detach().cpu().numpy().copy()
-        c2ws = scene.get_im_poses().detach().cpu().numpy()
-        pts3d = [p.detach().cpu().numpy() for p in scene.get_pts3d()]
-        masks = [m.detach().cpu().numpy() for m in scene.get_masks()]
+        # dust3r's load_images normalizes to [-1, 1]; recover [0, 1] rgb
+        imgs = np.stack(
+            [
+                (np.asarray(im["img"])[0].transpose(1, 2, 0) + 1.0) / 2.0
+                for im in images
+            ]
+        ).astype(np.float32)
+        Ks = scene.Ks.copy()
+        c2ws = scene.c2ws
+        pts3d = list(scene.pts3d)
+        masks = scene.masks(min_conf_thr)
 
         if num_img == 1:
             imgs, Ks, c2ws = imgs[:1], Ks[:1], c2ws[:1]

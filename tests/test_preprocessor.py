@@ -1,7 +1,12 @@
-"""Dust3rPipeline exercised end-to-end against a MOCKED dust3r package
-(VERDICT.md Missing #4: the real package is absent here and in the reference,
-which ships it as an empty submodule — this pins the pipeline's use of the
-dust3r API and its output contract, reference seva/modules/preprocessor.py:37-116)."""
+"""Dust3rPipeline exercised end-to-end against a MOCKED dust3r package.
+
+The real package is absent here and in the reference, which ships it as an
+empty submodule — the mock pins the pipeline's use of the dust3r API
+(reference seva/modules/preprocessor.py:37-77). Unlike the reference, only
+the stereo NETWORK is external now: the fake `inference` emits synthetic
+pairwise pointmaps (known cameras, per-edge scale ambiguity) in dust3r's
+output format, and the pipeline's NATIVE global aligner
+(core/global_alignment.py) must recover the ground-truth scene from them."""
 
 import sys
 import types
@@ -10,48 +15,18 @@ import numpy as np
 import pytest
 import torch
 
+from test_global_alignment import _align_to_gt, _make_scene
 
-class _FakeScene:
-    """Mimics dust3r's PointCloudOptimizer result surface."""
-
-    def __init__(self, n, hs=48, ws=64):
-        rng = np.random.default_rng(0)
-        self.imgs = [rng.uniform(size=(hs, ws, 3)).astype(np.float32) for _ in range(n)]
-        self._K = torch.tensor(
-            [[[60.0, 0, ws / 2], [0, 60.0, hs / 2], [0, 0, 1]]] * n
-        )
-        poses = np.repeat(np.eye(4)[None], n, 0)
-        poses[:, 0, 3] = np.arange(n)  # distinct positions
-        self._poses = torch.tensor(poses, dtype=torch.float32)
-        self._pts = [torch.tensor(rng.normal(size=(hs, ws, 3)), dtype=torch.float32)
-                     for _ in range(n)]
-        self._masks = [torch.tensor(rng.uniform(size=(hs, ws)) > 0.5)
-                       for _ in range(n)]
-        self.aligned = False
-
-    def compute_global_alignment(self, **kw):
-        self.aligned = True
-        return 0.0
-
-    def get_intrinsics(self):
-        return self._K
-
-    def get_im_poses(self):
-        return self._poses
-
-    def get_pts3d(self):
-        return self._pts
-
-    def get_masks(self):
-        return self._masks
+HS, WS = 48, 64  # mocked load_images working resolution
+GT_F = 40.0
 
 
 def _install_fake_dust3r(monkeypatch, recorded):
     def mk(name):
         mod = types.ModuleType(name)
-        mod.__spec__ = __import__("importlib.machinery", fromlist=["ModuleSpec"]).ModuleSpec(
-            name, loader=None
-        )
+        mod.__spec__ = __import__(
+            "importlib.machinery", fromlist=["ModuleSpec"]
+        ).ModuleSpec(name, loader=None)
         return mod
 
     dust3r = mk("dust3r")
@@ -60,7 +35,6 @@ def _install_fake_dust3r(monkeypatch, recorded):
     pairs_mod = mk("dust3r.image_pairs")
     img_mod = mk("dust3r.utils.image")
     utils_mod = mk("dust3r.utils")
-    opt_mod = mk("dust3r.cloud_opt")
 
     class AsymmetricCroCo3DStereo:
         @classmethod
@@ -73,31 +47,43 @@ def _install_fake_dust3r(monkeypatch, recorded):
 
     def load_images(paths, size):
         recorded["load_size"] = size
-        return [{"idx": i, "img": None} for i in range(len(paths))]
+        rng = np.random.default_rng(5)
+        out = []
+        for i in range(len(paths)):
+            # dust3r convention: (1, 3, H, W) torch tensor normalized to [-1, 1]
+            img = rng.uniform(-1, 1, (1, 3, HS, WS)).astype(np.float32)
+            out.append({"idx": i, "img": torch.tensor(img)})
+        return out
 
     def make_pairs(images, scene_graph, prefilter, symmetrize):
         recorded["scene_graph"] = scene_graph
+        recorded["symmetrize"] = symmetrize
         return [(a, b) for a in images for b in images if a["idx"] != b["idx"]]
 
     def inference(pairs, model, device, batch_size):
         recorded["n_pairs"] = len(pairs)
-        return {"pred": None, "n_imgs": recorded["n_imgs"]}
-
-    class GlobalAlignerMode:
-        PointCloudOptimizer = "pco"
-
-    def global_aligner(output, device, mode, same_focals):
-        recorded["same_focals"] = same_focals
-        recorded["mode"] = mode
-        return _FakeScene(recorded["n_imgs"])
+        n = recorded["n_imgs"]
+        edges, gt = _make_scene(N=n, H=HS, W=WS, f=GT_F, noise=0.002, seed=4)
+        recorded["gt"] = gt
+        # dust3r's standard inference output dict (torch tensors)
+        return {
+            "view1": {"idx": list(edges.i_idx)},
+            "view2": {"idx": list(edges.j_idx)},
+            "pred1": {
+                "pts3d": torch.tensor(edges.pts1),
+                "conf": torch.tensor(edges.conf1),
+            },
+            "pred2": {
+                "pts3d_in_other_view": torch.tensor(edges.pts2),
+                "conf": torch.tensor(edges.conf2),
+            },
+        }
 
     inference_mod.inference = inference
     model_mod.AsymmetricCroCo3DStereo = AsymmetricCroCo3DStereo
     pairs_mod.make_pairs = make_pairs
     img_mod.load_images = load_images
     utils_mod.image = img_mod
-    opt_mod.GlobalAlignerMode = GlobalAlignerMode
-    opt_mod.global_aligner = global_aligner
     for name, mod in {
         "dust3r": dust3r,
         "dust3r.inference": inference_mod,
@@ -105,7 +91,6 @@ def _install_fake_dust3r(monkeypatch, recorded):
         "dust3r.image_pairs": pairs_mod,
         "dust3r.utils": utils_mod,
         "dust3r.utils.image": img_mod,
-        "dust3r.cloud_opt": opt_mod,
     }.items():
         monkeypatch.setitem(sys.modules, name, mod)
 
@@ -130,26 +115,36 @@ def test_infer_cameras_and_points_contract(monkeypatch, image_files):
 
     assert preprocessor.dust3r_available()
     pipe = preprocessor.Dust3rPipeline()
-    imgs, Ks, c2ws, points, colors = pipe.infer_cameras_and_points(image_files)
+    imgs, Ks, c2ws, points, colors = pipe.infer_cameras_and_points(
+        image_files, niter=200
+    )
 
     # the reference's pipeline configuration is preserved
     assert recorded["scene_graph"] == "complete"  # preprocessor.py:66
-    assert recorded["same_focals"] is True  # preprocessor.py:79
+    assert recorded["symmetrize"] is True
     assert recorded["load_size"] == 512
 
     # output contract (reference preprocessor.py:47-116)
     n = 3
-    assert imgs.shape == (n, 48, 64, 3) and imgs.dtype == np.float32
+    assert imgs.shape == (n, HS, WS, 3) and imgs.dtype == np.float32
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
     assert Ks.shape == (n, 3, 3)
     assert c2ws.shape == (n, 4, 4)
     assert len(points) == n and len(colors) == n
     for p, c in zip(points, colors):
         assert p.ndim == 2 and p.shape[1] == 3
+        assert len(p) > 0  # default min_conf_thr keeps confident points
         assert c.shape == p.shape  # one color per confident point
+
+    # the NATIVE aligner recovered the synthetic ground truth: poses match
+    # up to a global similarity, focal within 3%
+    gt = recorded["gt"]
+    rec, _, _, _ = _align_to_gt(c2ws.astype(np.float64), gt["c2ws"])
+    np.testing.assert_allclose(rec[:, :3, 3], gt["c2ws"][:, :3, 3], atol=0.1)
     # intrinsics rescaled from the 64x48 working res to the original 128x96
-    np.testing.assert_allclose(Ks[0, 0, 0], 60.0 * 128 / 64)
-    np.testing.assert_allclose(Ks[0, 1, 1], 60.0 * 96 / 48)
+    np.testing.assert_allclose(Ks[:, 0, 0], GT_F * 128 / 64, rtol=0.03)
     np.testing.assert_allclose(Ks[0, 0, 2], 64.0)  # cx scaled to W/2
+    np.testing.assert_allclose(Ks[0, 1, 2], 48.0)  # cy scaled to H/2
 
 
 def test_single_image_duplicates_to_stereo_pair(monkeypatch, image_files):
@@ -159,7 +154,7 @@ def test_single_image_duplicates_to_stereo_pair(monkeypatch, image_files):
 
     pipe = preprocessor.Dust3rPipeline()
     imgs, Ks, c2ws, points, colors = pipe.infer_cameras_and_points(
-        image_files[:1]
+        image_files[:1], niter=50
     )
     # only the original image's outputs survive (preprocessor.py:94-96)
     assert imgs.shape[0] == 1 and Ks.shape == (1, 3, 3) and c2ws.shape == (1, 4, 4)
