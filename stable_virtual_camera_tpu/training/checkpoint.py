@@ -1,0 +1,45 @@
+"""Train-state checkpoint / resume (params + optimizer state + step).
+
+The reference is inference-only, so this has no counterpart there (SURVEY.md
+§5.4 covers only weight conversion); it completes the training subsystem:
+interrupt a fine-tune and resume bit-identically. Storage is orbax, matching
+models/io.py's converted-weight cache.
+
+Optax optimizer states are pytrees of NamedTuples; a plain orbax restore
+returns generic containers, so `restore_train_state` rebuilds the exact
+structure from a template (`optimizer.init(params)`-shaped) via treedef
+unflattening — leaf order is deterministic for a fixed structure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Write params, optimizer state and the step counter to `path`."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": params,
+        "opt_leaves": list(jax.tree.leaves(opt_state)),
+        "step": np.asarray(step, np.int64),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload)
+
+
+def restore_train_state(path: str, opt_state_template):
+    """Returns (params, opt_state, step). `opt_state_template` supplies the
+    optax state STRUCTURE (e.g. `optimizer.init(params)` on fresh params);
+    its leaf values are ignored."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    treedef = jax.tree.structure(opt_state_template)
+    opt_state = jax.tree.unflatten(treedef, payload["opt_leaves"])
+    return payload["params"], opt_state, int(payload["step"])

@@ -85,3 +85,41 @@ def test_sharded_step_matches_unsharded(setup):
         # cross-device reduction order perturbs grads at fp32 epsilon; Adam's
         # normalization amplifies that, so compare with a modest tolerance
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_bit_identical(setup, tmp_path):
+    """Save after k steps, restore, continue: identical to an uninterrupted
+    run (params bitwise; same keys, donated buffers copied before use)."""
+    from stable_virtual_camera_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    step = make_train_step(unet, opt, T)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(4)]
+
+    # uninterrupted: 4 steps
+    p, s = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+    for k in keys:
+        p, s, _ = step(p, s, batch, k)
+
+    # interrupted: 2 steps, save, restore, 2 more
+    p2, s2 = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+    for k in keys[:2]:
+        p2, s2, _ = step(p2, s2, batch, k)
+    ckpt = tmp_path / "state"
+    save_train_state(str(ckpt), p2, s2, step=2)
+
+    p3, s3, n = restore_train_state(str(ckpt), opt.init(params))
+    assert n == 2
+    p3 = jax.tree_util.tree_map(jnp.asarray, p3)
+    s3 = jax.tree_util.tree_map(jnp.asarray, s3)
+    for k in keys[2:]:
+        p3, s3, _ = step(p3, s3, batch, k)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
