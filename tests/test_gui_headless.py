@@ -186,3 +186,60 @@ def test_prepare_forces_interp_above_10_views(tiny_renderer):
     renderer.version = VersionConfig(H=64, W=64, T=21)
     plan = renderer.prepare(pre, camera_traj_list=traj, chunk_strategy="nearest-gt")
     assert plan["options"].chunk_strategy == "interp"  # demo_gr.py:242-244
+
+
+def test_preprocess_advanced_with_native_aligner(monkeypatch, tmp_path, tiny_renderer):
+    """Advanced-mode preprocessing end-to-end: fake dust3r NETWORK -> native
+    global aligner -> normalized scene dict -> renderer plan (reference
+    demo_gr.py:179-245 + 501-509)."""
+    import cv2
+
+    from test_preprocessor import _install_fake_dust3r
+    from stable_virtual_camera_tpu.apps import preprocessor
+    from stable_virtual_camera_tpu.apps.renderer import preprocess_advanced
+
+    recorded = {"n_imgs": 3}
+    _install_fake_dust3r(monkeypatch, recorded)
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"adv{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+        paths.append(str(p))
+
+    pipe = preprocessor.Dust3rPipeline()
+    pre = preprocess_advanced(paths, pipe, shorter=64)
+
+    n = 3
+    assert pre["input_imgs"].shape[0] == n
+    assert pre["input_imgs"].min() >= 0.0 and pre["input_imgs"].max() <= 1.0
+    assert pre["input_Ks"].shape == (n, 3, 3)
+    assert pre["input_c2ws"].shape == (n, 4, 4)
+    assert len(pre["points"]) == n and len(pre["point_colors"]) == n
+    assert all(len(p) > 0 for p in pre["points"])
+    # scene normalized: median point/camera extent ~1 after the rescale
+    ext = np.ptp(
+        np.concatenate([pre["input_c2ws"][:, :3, 3], *pre["points"]], 0), -1
+    )
+    assert 0.5 < np.median(ext) < 2.0
+    # the Advanced dict flows into render planning via a GUI-style keyframe
+    # trajectory (presets are single-input-only, reference demo_gr.py:501-509)
+    W, H = pre["input_wh"]
+    traj = [
+        {
+            "img_wh": (W, H),
+            "w2c": np.linalg.inv(
+                pre["input_c2ws"][i % n] @ np.diag([1, 1, 1, 1.0])
+            ).ravel().tolist(),
+            "K": (pre["input_Ks"][i % n] * np.array([W, H, 1.0])[:, None])
+            .ravel()
+            .tolist(),
+        }
+        for i in range(6)
+    ]
+    # tiny T=5 with 3 inputs makes "interp-gt" infeasible (T-2-inputs = 0,
+    # the reference's own feasibility bound) — plan with "interp"
+    plan = tiny_renderer.prepare(
+        pre, camera_traj_list=traj, chunk_strategy="interp", num_steps=2
+    )
+    assert plan["first_pass_chunks"] >= 1
