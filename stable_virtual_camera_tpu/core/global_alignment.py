@@ -321,8 +321,15 @@ def global_align(
     lr: float = 0.01,
     schedule: str = "cosine",
     same_focals: bool = True,
+    mesh=None,
 ) -> AlignedScene:
-    """Initialize on host, refine with one jitted Adam loop on device."""
+    """Initialize on host, refine with one jitted Adam loop on device.
+
+    With `mesh` (a jax.sharding.Mesh with a "data" axis), the per-edge
+    residual work — the bulk of the FLOPs, N*(N-1) edges of H*W*3 points
+    each — shards over that axis; parameters stay replicated and GSPMD
+    inserts the gradient all-reduces, so complete-graph scenes with many
+    images scale across chips."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -365,6 +372,19 @@ def global_align(
         np.arange(H, dtype=np.float32) + 0.5 - H / 2,
     )
     data["uv1"] = jnp.asarray(np.stack([uu, vv, np.ones_like(uu)], -1))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        edge_sh = lambda rank: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (rank - 1)))
+        )
+        for k in ("i", "j", "pts1", "c1", "pts2", "c2"):
+            data[k] = jax.device_put(data[k], edge_sh(data[k].ndim))
+        repl = NamedSharding(mesh, P())
+        for k in ("q0", "t0", "uv1"):
+            data[k] = jax.device_put(data[k], repl)
+        params = jax.device_put(params, repl)
 
     def quat_to_rot(q):
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)

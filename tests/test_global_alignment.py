@@ -161,3 +161,21 @@ def test_global_align_masks_threshold():
     assert masks[0].dtype == bool
     # conf was drawn in [1,10]: threshold 5 must be non-trivial
     assert 0 < masks[0].sum() < masks[0].size
+
+
+def test_global_align_sharded_matches_unsharded():
+    """Edge-sharded alignment over the virtual mesh == single-device result
+    (params replicated, per-edge residuals sharded, GSPMD grad reduction)."""
+    from stable_virtual_camera_tpu.parallel.mesh import make_mesh
+
+    edges, gt = _make_scene(N=4, noise=0.005, seed=6)  # E = 12 edges
+    ref = global_align(edges, niter=60, lr=0.01)
+    mesh = make_mesh(n_data=4, n_view=2)
+    sharded = global_align(edges, niter=60, lr=0.01, mesh=mesh)
+    np.testing.assert_allclose(sharded.final_loss, ref.final_loss, rtol=1e-3)
+    # cross-device reduction order perturbs grads at fp32 epsilon; the scene
+    # ends in the same place to tight tolerance
+    np.testing.assert_allclose(
+        sharded.c2ws[:, :3, 3], ref.c2ws[:, :3, 3], atol=5e-3
+    )
+    np.testing.assert_allclose(sharded.Ks[0, 0, 0], ref.Ks[0, 0, 0], rtol=1e-3)
