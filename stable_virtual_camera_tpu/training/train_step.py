@@ -109,12 +109,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     num_frames: int,
     discretization: DDPMDiscretization | None = None,
+    remat: bool = False,
 ):
     """Returns jitted `step(params, opt_state, batch, key) ->
-    (params, opt_state, loss)` with params/opt_state donated."""
+    (params, opt_state, loss)` with params/opt_state donated.
+
+    `remat=True` wraps the network forward in `jax.checkpoint`: the backward
+    pass recomputes activations instead of holding them, trading ~1 extra
+    forward of FLOPs for the activation footprint — what makes the 1.3B
+    model's T=21 backward fit one chip's HBM. Numerics are identical
+    (same ops, same order)."""
     discretization = discretization or DDPMDiscretization()
     registered = jnp.asarray(discretization.registered_sigmas())
     network_fn = make_network_fn(unet)
+    if remat:
+        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
 
     loss_fn = partial(
         diffusion_loss,
@@ -139,6 +148,7 @@ def make_sharded_train_step(
     num_frames: int,
     mesh,
     discretization: DDPMDiscretization | None = None,
+    remat: bool = False,
 ):
     """Training step jitted over a ("data","view") mesh: the frame axis of the
     batch shards over 'view' (same layout as sharded sampling), params and
@@ -148,6 +158,8 @@ def make_sharded_train_step(
     discretization = discretization or DDPMDiscretization()
     registered = jnp.asarray(discretization.registered_sigmas())
     network_fn = make_network_fn(unet)
+    if remat:
+        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
     loss_fn = partial(
         diffusion_loss,
         network_fn=network_fn,

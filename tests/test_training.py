@@ -123,3 +123,25 @@ def test_checkpoint_resume_bit_identical(setup, tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_remat_step_matches_plain(setup):
+    """jax.checkpoint rematerialization changes memory, not numerics: one
+    remat step == one plain step on identical inputs."""
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    plain = make_train_step(unet, opt, T)
+    p1, _, loss1 = plain(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, key
+    )
+    remat = make_train_step(unet, opt, T, remat=True)
+    p2, _, loss2 = remat(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, key
+    )
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
