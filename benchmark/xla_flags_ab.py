@@ -37,10 +37,14 @@ def main():
         # fresh compile per config: flag changes invalidate the executable,
         # but the persistent cache would serve a stale default-flag binary
         env.pop("JAX_COMPILATION_CACHE_DIR", None)
-        out = subprocess.run(
-            [sys.executable, "bench.py"], cwd=repo, env=env,
-            capture_output=True, text=True, timeout=2400,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "bench.py"], cwd=repo, env=env,
+                capture_output=True, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT (2400s) — continuing sweep", flush=True)
+            continue
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         try:
             rec = json.loads(line)

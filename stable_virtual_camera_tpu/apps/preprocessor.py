@@ -94,16 +94,23 @@ class Dust3rPipeline:
             same_focals=True,  # preprocessor.py:79
         )
         # dust3r's load_images normalizes to [-1, 1]; recover [0, 1] rgb
-        imgs = np.stack(
-            [
-                (np.asarray(im["img"])[0].transpose(1, 2, 0) + 1.0) / 2.0
-                for im in images
-            ]
-        ).astype(np.float32)
+        img_list = [
+            ((np.asarray(im["img"])[0].transpose(1, 2, 0) + 1.0) / 2.0).astype(
+                np.float32
+            )
+            for im in images
+        ]
         Ks = scene.Ks.copy()
         c2ws = scene.c2ws
-        pts3d = list(scene.pts3d)
-        masks = scene.masks(min_conf_thr)
+        # mixed-size image sets: the aligner's maps are padded to a common
+        # extent; crop each image's points/masks back to its real size
+        crop = lambda arrs: [  # noqa: E731
+            a[: im.shape[0], : im.shape[1]] for a, im in zip(arrs, img_list)
+        ]
+        pts3d = crop(list(scene.pts3d))
+        masks = crop(scene.masks(min_conf_thr))
+        uniform = len({im.shape for im in img_list}) == 1
+        imgs = np.stack(img_list) if uniform else img_list
 
         if num_img == 1:
             imgs, Ks, c2ws = imgs[:1], Ks[:1], c2ws[:1]

@@ -67,16 +67,21 @@ def weighted_umeyama(
     return s, R, t
 
 
-def estimate_focal(pts: np.ndarray, conf: np.ndarray) -> float:
+def estimate_focal(
+    pts: np.ndarray, conf: np.ndarray, wh: tuple[float, float] | None = None
+) -> float:
     """Weighted LSQ focal from a self-view pointmap (centered principal point).
 
     Pinhole identity per pixel: (u + .5 - W/2) = f * x / z (same for v/y);
-    one scalar f minimizes the stacked weighted system.
+    one scalar f minimizes the stacked weighted system. `wh` is the image's
+    REAL (width, height) when the map is padded (padding must carry conf 0);
+    the principal point sits at the real center.
     """
     H, W = pts.shape[:2]
+    w_real, h_real = wh if wh is not None else (W, H)
     uu, vv = np.meshgrid(
-        np.arange(W, dtype=np.float64) + 0.5 - W / 2,
-        np.arange(H, dtype=np.float64) + 0.5 - H / 2,
+        np.arange(W, dtype=np.float64) + 0.5 - w_real / 2,
+        np.arange(H, dtype=np.float64) + 0.5 - h_real / 2,
     )
     z = pts[..., 2]
     valid = z > 1e-6
@@ -102,7 +107,8 @@ def _max_spanning_tree(n: int, edges: list[tuple[int, int]], weight: np.ndarray)
         for eidx, (i, j) in enumerate(edges):
             if (i in in_tree) != (j in in_tree) and weight[eidx] > cand_w:
                 cand, cand_w = eidx, weight[eidx]
-        assert cand >= 0, "pair graph is disconnected"
+        if cand < 0:  # data-dependent: must survive python -O
+            raise ValueError("pair graph is disconnected")
         i, j = edges[cand]
         in_tree.add(j if i in in_tree else i)
         tree.append(cand)
@@ -142,18 +148,32 @@ def _quat_from_rot(R: np.ndarray) -> np.ndarray:
 class EdgePreds:
     """Stacked pairwise predictions. For edge e = (i, j), BOTH pointmaps live
     in image i's camera frame (the stereo net's view-1 frame):
-    pts1[e] are image i's pixels, pts2[e] are image j's pixels."""
+    pts1[e] are image i's pixels, pts2[e] are image j's pixels.
+
+    Mixed-resolution image sets (dust3r resizes each image to its own
+    aspect-dependent shape) are supported by padding every map to a common
+    (H, W) at the bottom/right with confidence 0 and recording each image's
+    real size in `img_whs` — padded pixels carry zero loss weight and the
+    principal point sits at the real center."""
 
     i_idx: np.ndarray  # (E,) int
     j_idx: np.ndarray  # (E,) int
     pts1: np.ndarray  # (E, H, W, 3) float32
-    conf1: np.ndarray  # (E, H, W) float32, >= 0
+    conf1: np.ndarray  # (E, H, W) float32, >= 0 (0 on padding)
     pts2: np.ndarray  # (E, H, W, 3)
     conf2: np.ndarray  # (E, H, W)
+    img_whs: np.ndarray | None = None  # (N, 2) real (w, h) per image
 
     @property
     def num_images(self) -> int:
         return int(max(self.i_idx.max(), self.j_idx.max())) + 1
+
+    def whs(self) -> np.ndarray:
+        """(N, 2) real (w, h) per image; defaults to the map size."""
+        if self.img_whs is not None:
+            return np.asarray(self.img_whs, np.float64)
+        _, H, W = self.conf1.shape
+        return np.tile(np.array([W, H], np.float64), (self.num_images, 1))
 
 
 @dataclasses.dataclass
@@ -185,6 +205,7 @@ def _scale_of(pts: np.ndarray, conf: np.ndarray) -> float:
 def _initialize(edges: EdgePreds, same_focals: bool):
     N = edges.num_images
     E, H, W = edges.conf1.shape
+    whs = edges.whs()  # (N, 2) real (w, h)
 
     # each image's own-frame pointmap: its highest-confidence view-1 edge
     mean_c1 = edges.conf1.reshape(E, -1).mean(-1)
@@ -194,13 +215,18 @@ def _initialize(edges: EdgePreds, same_focals: bool):
         i = int(edges.i_idx[e])
         if mean_c1[e] > self_conf[i]:
             self_edge[i], self_conf[i] = e, mean_c1[e]
-    assert (self_edge >= 0).all(), "every image must appear as view 1"
+    if not (self_edge >= 0).all():  # data-dependent: must survive python -O
+        raise ValueError(
+            "every image must appear as view 1 of some edge (use a "
+            "symmetrized pair graph)"
+        )
     self_pts = edges.pts1[self_edge]  # (N, H, W, 3), per-image self scale
     self_cw = edges.conf1[self_edge]
 
     # focal(s) from self predictions
     focals = np.array(
-        [estimate_focal(self_pts[i], self_cw[i]) for i in range(N)]
+        [estimate_focal(self_pts[i], self_cw[i], wh=tuple(whs[i]))
+         for i in range(N)]
     )
     if same_focals:
         wts = np.maximum(self_conf, 1e-3)
@@ -275,7 +301,7 @@ def _initialize(edges: EdgePreds, same_focals: bool):
     depth_init = np.maximum(self_pts[..., 2], 1e-4) * alpha[:, None, None]
 
     # closed-form per-edge scale against the initialized global points
-    chi = _backproject_np(depth_init, focals, R_init, t_init, H, W)
+    chi = _backproject_np(depth_init, focals, R_init, t_init, H, W, whs / 2)
     logs = np.zeros(E)
     for e in range(E):
         i = int(edges.i_idx[e])
@@ -296,14 +322,18 @@ def _initialize(edges: EdgePreds, same_focals: bool):
     return quats, t_init, np.log(depth_init), np.log(focals), logs
 
 
-def _backproject_np(depth, focals, R, t, H, W):
+def _backproject_np(depth, focals, R, t, H, W, pps):
+    """pps: (N, 2) per-image principal points (cx, cy) in pixels."""
     uu, vv = np.meshgrid(
-        np.arange(W, dtype=np.float64) + 0.5 - W / 2,
-        np.arange(H, dtype=np.float64) + 0.5 - H / 2,
+        np.arange(W, dtype=np.float64) + 0.5,
+        np.arange(H, dtype=np.float64) + 0.5,
     )
     dirs = np.stack(
-        [uu[None] / focals[:, None, None], vv[None] / focals[:, None, None],
-         np.ones((1, H, W)).repeat(len(focals), 0)],
+        [
+            (uu[None] - pps[:, 0, None, None]) / focals[:, None, None],
+            (vv[None] - pps[:, 1, None, None]) / focals[:, None, None],
+            np.ones((1, H, W)).repeat(len(focals), 0),
+        ],
         axis=-1,
     )  # (N, H, W, 3)
     cam = depth[..., None] * dirs
@@ -313,6 +343,92 @@ def _backproject_np(depth, focals, R, t, H, W):
 # ---------------------------------------------------------------------------
 # Device-side refinement (jax)
 # ---------------------------------------------------------------------------
+
+
+def _quat_to_rot(q):
+    import jax.numpy as jnp
+
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - w * z),
+                       2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x**2 + z**2),
+                       2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                       1 - 2 * (x**2 + y**2)], -1),
+        ],
+        -2,
+    )
+
+
+def _unpack(p, data):
+    import jax.numpy as jnp
+
+    q = jnp.concatenate([data["q0"], p["quat"]], 0)
+    t = jnp.concatenate([data["t0"], p["trans"]], 0)
+    R = _quat_to_rot(q)
+    f = jnp.exp(p["logf"])
+    f = jnp.broadcast_to(f, (q.shape[0],))
+    depth = jnp.exp(p["logd"])
+    scales = jnp.exp(p["logs"] - p["logs"].mean())
+    return R, t, f, depth, scales
+
+
+def _loss_fn(p, data):
+    import jax.numpy as jnp
+
+    R, t, f, depth, scales = _unpack(p, data)
+    xy = (data["uv"][None] - data["pp"][:, None, None, :]) / f[:, None, None, None]
+    dirs = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
+    cam = depth[..., None] * dirs
+    chi = jnp.einsum("nab,nhwb->nhwa", R, cam) + t[:, None, None, :]
+    Ri, ti = R[data["i"]], t[data["i"]]
+    sc = scales[:, None, None, None]
+    w1 = jnp.einsum("eab,ehwb->ehwa", Ri, sc * data["pts1"]) + ti[:, None, None, :]
+    w2 = jnp.einsum("eab,ehwb->ehwa", Ri, sc * data["pts2"]) + ti[:, None, None, :]
+    d1 = jnp.sqrt(((chi[data["i"]] - w1) ** 2).sum(-1) + 1e-12)
+    d2 = jnp.sqrt(((chi[data["j"]] - w2) ** 2).sum(-1) + 1e-12)
+    return ((data["c1"] * d1).sum() + (data["c2"] * d2).sum()) / data["conf_total"]
+
+
+_REFINER_CACHE: dict = {}
+
+
+def _get_refiner(niter: int, lr: float, schedule: str):
+    """One jitted Adam/scan program per (niter, lr, schedule); shapes
+    re-specialize inside jax.jit's own cache, so repeated preprocessing
+    calls (a GUI session) skip re-tracing."""
+    key = (niter, lr, schedule)
+    if key in _REFINER_CACHE:
+        return _REFINER_CACHE[key]
+    import jax
+    import optax
+
+    if schedule == "cosine":
+        sched = optax.cosine_decay_schedule(lr, max(niter, 1))
+    elif schedule == "linear":
+        sched = optax.linear_schedule(lr, 0.0, max(niter, 1))
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    opt = optax.adam(sched)
+
+    @jax.jit
+    def run(p, data):
+        state = opt.init(p)
+
+        def step(carry, _):
+            p, state = carry
+            loss, grads = jax.value_and_grad(_loss_fn)(p, data)
+            updates, state = opt.update(grads, state, p)
+            return (optax.apply_updates(p, updates), state), loss
+
+        (p, _), losses = jax.lax.scan(step, (p, state), None, length=niter)
+        return p, losses[-1]
+
+    _REFINER_CACHE[key] = run
+    return run
 
 
 def global_align(
@@ -357,6 +473,7 @@ def global_align(
         "logf": jnp.asarray(logf0, jnp.float32),
         "logs": jnp.asarray(logs0, jnp.float32),
     }
+    whs = edges.whs()
     data = {
         "i": jnp.asarray(edges.i_idx, jnp.int32),
         "j": jnp.asarray(edges.j_idx, jnp.int32),
@@ -366,12 +483,14 @@ def global_align(
         "c2": jnp.asarray(edges.conf2, jnp.float32),
         "q0": jnp.asarray(quats0[:1], jnp.float32),
         "t0": jnp.asarray(trans0[:1], jnp.float32),
+        "pp": jnp.asarray(whs / 2, jnp.float32),  # (N, 2) principal points
+        "conf_total": jnp.float32(edges.conf1.sum() + edges.conf2.sum()),
     }
     uu, vv = np.meshgrid(
-        np.arange(W, dtype=np.float32) + 0.5 - W / 2,
-        np.arange(H, dtype=np.float32) + 0.5 - H / 2,
+        np.arange(W, dtype=np.float32) + 0.5,
+        np.arange(H, dtype=np.float32) + 0.5,
     )
-    data["uv1"] = jnp.asarray(np.stack([uu, vv, np.ones_like(uu)], -1))
+    data["uv"] = jnp.asarray(np.stack([uu, vv], -1))  # (H, W, 2) raw pixels
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -382,85 +501,24 @@ def global_align(
         for k in ("i", "j", "pts1", "c1", "pts2", "c2"):
             data[k] = jax.device_put(data[k], edge_sh(data[k].ndim))
         repl = NamedSharding(mesh, P())
-        for k in ("q0", "t0", "uv1"):
+        for k in ("q0", "t0", "pp", "uv", "conf_total"):
             data[k] = jax.device_put(data[k], repl)
         params = jax.device_put(params, repl)
 
-    def quat_to_rot(q):
-        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-        w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-        return jnp.stack(
-            [
-                jnp.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - w * z),
-                           2 * (x * z + w * y)], -1),
-                jnp.stack([2 * (x * y + w * z), 1 - 2 * (x**2 + z**2),
-                           2 * (y * z - w * x)], -1),
-                jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
-                           1 - 2 * (x**2 + y**2)], -1),
-            ],
-            -2,
-        )
-
-    conf_total = float(edges.conf1.sum() + edges.conf2.sum())
-
-    def unpack(p):
-        q = jnp.concatenate([data["q0"], p["quat"]], 0)
-        t = jnp.concatenate([data["t0"], p["trans"]], 0)
-        R = quat_to_rot(q)
-        f = jnp.exp(p["logf"])
-        f = jnp.broadcast_to(f, (N,))
-        depth = jnp.exp(p["logd"])
-        scales = jnp.exp(p["logs"] - p["logs"].mean())
-        return R, t, f, depth, scales
-
-    def loss_fn(p):
-        R, t, f, depth, scales = unpack(p)
-        dirs = data["uv1"] / jnp.stack(
-            [f, f, jnp.ones_like(f)], -1
-        )[:, None, None, :]
-        cam = depth[..., None] * dirs
-        chi = jnp.einsum("nab,nhwb->nhwa", R, cam) + t[:, None, None, :]
-        Ri, ti = R[data["i"]], t[data["i"]]
-        sc = scales[:, None, None, None]
-        w1 = jnp.einsum("eab,ehwb->ehwa", Ri, sc * data["pts1"]) + ti[:, None, None, :]
-        w2 = jnp.einsum("eab,ehwb->ehwa", Ri, sc * data["pts2"]) + ti[:, None, None, :]
-        d1 = jnp.sqrt(((chi[data["i"]] - w1) ** 2).sum(-1) + 1e-12)
-        d2 = jnp.sqrt(((chi[data["j"]] - w2) ** 2).sum(-1) + 1e-12)
-        return ((data["c1"] * d1).sum() + (data["c2"] * d2).sum()) / conf_total
-
-    if schedule == "cosine":
-        sched = optax.cosine_decay_schedule(lr, max(niter, 1))
-    elif schedule == "linear":
-        sched = optax.linear_schedule(lr, 0.0, max(niter, 1))
-    else:
-        raise ValueError(f"unknown schedule {schedule!r}")
-    opt = optax.adam(sched)
-
-    @jax.jit
-    def run(p):
-        state = opt.init(p)
-
-        def step(carry, _):
-            p, state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, state = opt.update(grads, state, p)
-            return (optax.apply_updates(p, updates), state), loss
-
-        (p, _), losses = jax.lax.scan(step, (p, state), None, length=niter)
-        return p, losses[-1]
-
     assert niter >= 1
-    p_final, final_loss = run(params)
+    run = _get_refiner(niter, lr, schedule)
+    p_final, final_loss = run(params, data)
 
-    R, t, f, depth, _ = (np.asarray(x) for x in unpack(p_final))
+    R, t, f, depth, _ = (np.asarray(x) for x in _unpack(p_final, data))
     chi = _backproject_np(depth.astype(np.float64), f.astype(np.float64),
-                          R.astype(np.float64), t.astype(np.float64), H, W)
+                          R.astype(np.float64), t.astype(np.float64), H, W,
+                          whs / 2)
 
     Ks = np.zeros((N, 3, 3))
     Ks[:, 0, 0] = f
     Ks[:, 1, 1] = f
-    Ks[:, 0, 2] = W / 2
-    Ks[:, 1, 2] = H / 2
+    Ks[:, 0, 2] = whs[:, 0] / 2
+    Ks[:, 1, 2] = whs[:, 1] / 2
     Ks[:, 2, 2] = 1.0
     c2ws = np.tile(np.eye(4), (N, 1, 1))
     c2ws[:, :3, :3] = R
@@ -489,18 +547,66 @@ def edges_from_dust3r_output(output) -> EdgePreds:
 
     Expects the standard keys: view1/view2 ``idx``, pred1 ``pts3d``/``conf``,
     pred2 ``pts3d_in_other_view``/``conf`` (reference preprocessor.py:70-77
-    feeds exactly this dict to the torch global aligner)."""
+    feeds exactly this dict to the torch global aligner). Predictions may be
+    one stacked (E, H, W, ...) tensor (uniform image sizes) or a per-edge
+    list with mixed sizes (dust3r resizes each image to its own
+    aspect-dependent shape): mixed sizes are padded bottom/right to the max
+    extent with confidence 0 and each image's real (w, h) is recorded."""
 
     def npy(x):
         return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
 
     i_idx = np.asarray(output["view1"]["idx"], np.int64)
     j_idx = np.asarray(output["view2"]["idx"], np.int64)
+
+    p1_raw = output["pred1"]["pts3d"]
+    c1_raw = output["pred1"]["conf"]
+    p2_raw = output["pred2"]["pts3d_in_other_view"]
+    c2_raw = output["pred2"]["conf"]
+
+    if not isinstance(p1_raw, (list, tuple)):
+        return EdgePreds(
+            i_idx=i_idx,
+            j_idx=j_idx,
+            pts1=npy(p1_raw).astype(np.float32),
+            conf1=npy(c1_raw).astype(np.float32),
+            pts2=npy(p2_raw).astype(np.float32),
+            conf2=npy(c2_raw).astype(np.float32),
+        )
+
+    # ragged: per-edge maps sized to each image's own resolution
+    p1s = [npy(x).astype(np.float32) for x in p1_raw]
+    c1s = [npy(x).astype(np.float32) for x in c1_raw]
+    p2s = [npy(x).astype(np.float32) for x in p2_raw]
+    c2s = [npy(x).astype(np.float32) for x in c2_raw]
+    E = len(p1s)
+    H = max(max(p.shape[0] for p in p1s), max(p.shape[0] for p in p2s))
+    W = max(max(p.shape[1] for p in p1s), max(p.shape[1] for p in p2s))
+
+    N = int(max(i_idx.max(), j_idx.max())) + 1
+    img_whs = np.zeros((N, 2))
+    for e in range(E):
+        img_whs[int(i_idx[e])] = (p1s[e].shape[1], p1s[e].shape[0])
+        img_whs[int(j_idx[e])] = (p2s[e].shape[1], p2s[e].shape[0])
+
+    def pad_pts(maps):
+        out = np.zeros((E, H, W, 3), np.float32)
+        for e, m in enumerate(maps):
+            out[e, : m.shape[0], : m.shape[1]] = m
+        return out
+
+    def pad_conf(maps):
+        out = np.zeros((E, H, W), np.float32)
+        for e, m in enumerate(maps):
+            out[e, : m.shape[0], : m.shape[1]] = m
+        return out
+
     return EdgePreds(
         i_idx=i_idx,
         j_idx=j_idx,
-        pts1=npy(output["pred1"]["pts3d"]).astype(np.float32),
-        conf1=npy(output["pred1"]["conf"]).astype(np.float32),
-        pts2=npy(output["pred2"]["pts3d_in_other_view"]).astype(np.float32),
-        conf2=npy(output["pred2"]["conf"]).astype(np.float32),
+        pts1=pad_pts(p1s),
+        conf1=pad_conf(c1s),
+        pts2=pad_pts(p2s),
+        conf2=pad_conf(c2s),
+        img_whs=img_whs,
     )

@@ -29,7 +29,9 @@ def save_train_state(path: str, params, opt_state, step: int) -> None:
         "step": np.asarray(step, np.int64),
     }
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), payload)
+        # force: periodic saves overwrite the same path (orbax errors on an
+        # existing destination otherwise)
+        ckptr.save(os.path.abspath(path), payload, force=True)
 
 
 def restore_train_state(path: str, opt_state_template):

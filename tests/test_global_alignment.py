@@ -179,3 +179,76 @@ def test_global_align_sharded_matches_unsharded():
         sharded.c2ws[:, :3, 3], ref.c2ws[:, :3, 3], atol=5e-3
     )
     np.testing.assert_allclose(sharded.Ks[0, 0, 0], ref.Ks[0, 0, 0], rtol=1e-3)
+
+
+def test_ragged_output_mixed_resolutions_recovers_scene():
+    """dust3r-style ragged inference output (each image at its own
+    aspect-dependent size) -> padded EdgePreds with per-image principal
+    points -> the aligner still recovers the GT scene. The replaced torch
+    PointCloudOptimizer supported per-image imshapes; this pins parity."""
+    import torch
+
+    from stable_virtual_camera_tpu.core.global_alignment import (
+        edges_from_dust3r_output,
+    )
+
+    rng = np.random.default_rng(12)
+    f = 40.0
+    hws = [(24, 32), (32, 24), (24, 32)]  # mixed aspect ratios
+    N = len(hws)
+    thetas = np.linspace(-0.4, 0.4, N)
+    c2ws = np.stack(
+        [_lookat_c2w((4 * np.sin(t), 0.5 * np.sin(2 * t), -4 * np.cos(t)))
+         for t in thetas]
+    )
+    w2cs = np.linalg.inv(c2ws)
+
+    world = []
+    for n, (H, W) in enumerate(hws):
+        uu, vv = np.meshgrid(
+            np.arange(W) + 0.5 - W / 2, np.arange(H) + 0.5 - H / 2
+        )
+        dirs = np.stack([uu / f, vv / f, np.ones_like(uu)], -1)
+        depth = 3.0 + 0.4 * np.cos(uu / 9 + 0.3 * n) * np.sin(vv / 7)
+        pts = depth[..., None] * dirs
+        world.append(
+            np.einsum("ab,hwb->hwa", c2ws[n, :3, :3], pts) + c2ws[n, :3, 3]
+        )
+
+    i_idx, j_idx, p1s, p2s, c1s, c2s = [], [], [], [], [], []
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            kappa = float(rng.uniform(0.6, 1.7))
+            in_i = lambda pts: (
+                np.einsum("ab,hwb->hwa", w2cs[i, :3, :3], pts) + w2cs[i, :3, 3]
+            )
+            i_idx.append(i)
+            j_idx.append(j)
+            p1s.append(torch.tensor((kappa * in_i(world[i])).astype(np.float32)))
+            p2s.append(torch.tensor((kappa * in_i(world[j])).astype(np.float32)))
+            c1s.append(torch.tensor(rng.uniform(1, 10, hws[i]).astype(np.float32)))
+            c2s.append(torch.tensor(rng.uniform(1, 10, hws[j]).astype(np.float32)))
+
+    output = {
+        "view1": {"idx": i_idx},
+        "view2": {"idx": j_idx},
+        "pred1": {"pts3d": p1s, "conf": c1s},
+        "pred2": {"pts3d_in_other_view": p2s, "conf": c2s},
+    }
+    edges = edges_from_dust3r_output(output)
+    assert edges.img_whs is not None
+    np.testing.assert_array_equal(edges.img_whs[0], (32, 24))
+    np.testing.assert_array_equal(edges.img_whs[1], (24, 32))
+
+    scene = global_align(edges, niter=200, lr=0.01)
+    rec, s, R, t = _align_to_gt(scene.c2ws.astype(np.float64), c2ws)
+    np.testing.assert_allclose(rec[:, :3, 3], c2ws[:, :3, 3], atol=0.03)
+    np.testing.assert_allclose(scene.Ks[:, 0, 0], f, rtol=0.02)
+    # per-image principal points at each image's real center
+    np.testing.assert_allclose(scene.Ks[0, 0, 2], 16.0)
+    np.testing.assert_allclose(scene.Ks[1, 0, 2], 12.0)
+    # padded pixels never survive the masks
+    masks = scene.masks(0.5)
+    assert not masks[1][:, 24:].any() and not masks[0][24:, :].any()

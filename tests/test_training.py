@@ -112,6 +112,8 @@ def test_checkpoint_resume_bit_identical(setup, tmp_path):
     for k in keys[:2]:
         p2, s2, _ = step(p2, s2, batch, k)
     ckpt = tmp_path / "state"
+    # periodic-checkpoint pattern: the same path is overwritten each save
+    save_train_state(str(ckpt), params, opt.init(params), step=0)
     save_train_state(str(ckpt), p2, s2, step=2)
 
     p3, s3, n = restore_train_state(str(ckpt), opt.init(params))
