@@ -392,15 +392,16 @@ class UNetDenoiser:
         `abort_event` the SAME single-dispatch scan runs with an in-scan
         ordered io_callback emitting per-step progress and polling abort
         (the GradioTrackedSampler capability, reference seva/eval.py:1037-1089,
-        without the per-step dispatch cost). A stepwise python loop remains as
-        a debug path (SVC_STEPWISE_SAMPLER=1) and as the fallback on backends
-        without host-callback support or for view-sharded programs.
-        Returns None if aborted.
+        without the per-step dispatch cost). Backends without host-callback
+        support (the axon relay) and view-sharded programs keep the
+        single-dispatch scan with chunk-granular progress/abort instead; a
+        stepwise python loop survives only as a debug path
+        (SVC_STEPWISE_SAMPLER=1). Returns None if aborted.
         """
         T, h, w, _ = noise.shape
         # NB: params flow in as a jit argument (never as captured constants —
         # capturing a 1.3B tree as literals bloats compilation catastrophically).
-        if progress_cb is None and abort_event is None:
+        def _scan_plain():
             bucket = ("scan", T, h, w, plan.num_steps)
             if bucket not in self._jitted:
 
@@ -419,11 +420,15 @@ class UNetDenoiser:
                 self.params, noise, plan_to_device(plan), cond, key
             )
 
+        if progress_cb is None and abort_event is None:
+            return _scan_plain()
+
+        stepwise = os.environ.get("SVC_STEPWISE_SAMPLER", "0") == "1"
         sharded = self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
         use_in_scan = (
-            os.environ.get("SVC_STEPWISE_SAMPLER", "0") != "1"
+            not stepwise
             and not sharded  # io_callback placement under pjit is per-device;
-            # the sharded buckets keep the stepwise loop
+            # the sharded buckets keep the coarse fallback
             and io_callback_supported()
         )
         if use_in_scan:
@@ -453,6 +458,24 @@ class UNetDenoiser:
                 unregister_tick(handle)
             if abort_event is not None and abort_event.is_set():
                 return None
+            return x
+
+        if not stepwise:
+            # coarse-progress fallback (backends without working host
+            # callbacks — the axon relay hangs on ordered io_callback — and
+            # view-sharded programs): keep the SINGLE-dispatch scan, tick
+            # progress at chunk granularity, poll abort between chunks. The
+            # per-σ-step dispatch loop below costs ~35-40 ms of relay floor
+            # per step (docs/ARCHITECTURE.md "Dispatch discipline") and stays
+            # debug-only (SVC_STEPWISE_SAMPLER=1).
+            if abort_event is not None and abort_event.is_set():
+                return None
+            x = _scan_plain()
+            x.block_until_ready()
+            if abort_event is not None and abort_event.is_set():
+                return None
+            if progress_cb is not None:
+                progress_cb(plan.num_steps, plan.num_steps)
             return x
 
         bucket = ("step", T, h, w)

@@ -371,3 +371,44 @@ def test_denoiser_sample_tracked_path_and_abort(rng):
     ev = threading.Event()
     ev.set()  # aborted before sampling -> None
     assert den.sample(noise, plan, cond, key, abort_event=ev) is None
+
+
+def test_denoiser_coarse_fallback_single_dispatch(rng, monkeypatch):
+    """Backends without host callbacks (the axon relay) keep the
+    single-dispatch scan: progress ticks once per chunk, abort polls between
+    chunks, result == fast path; the per-step dispatch loop is debug-only."""
+    import threading
+
+    from stable_virtual_camera_tpu.sampling import sampler as sampler_mod
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            tt = (t_vec.astype(jnp.float32) / 1000.0)[:, None, None, None]
+            return (
+                0.1 * jnp.tanh(net_in[..., :4])
+                + 0.03 * tt
+                + 0.05 * net_in[..., 4:5]
+                + variables["params"]["w"]
+            )
+
+    monkeypatch.setattr(sampler_mod, "io_callback_supported", lambda: False)
+
+    T, h, w, n = 3, 4, 4, 6
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    plan = make_sampling_plan(DDPMDiscretization(), n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    fast = den.sample(noise, plan, cond, key)
+    ticks = []
+    out = den.sample(
+        noise, plan, cond, key, progress_cb=lambda i, total: ticks.append((i, total))
+    )
+    assert ticks == [(n, n)]  # chunk-granular: one tick per chunk
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fast), rtol=0, atol=0)
+
+    ev = threading.Event()
+    ev.set()
+    assert den.sample(noise, plan, cond, key, abort_event=ev) is None
