@@ -135,7 +135,7 @@ def _pick_block(n: int, lo: int = 384, hi: int = 1024) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_v2_bhld(
+def _flash_v2_impl(
     q: jnp.ndarray,  # (B, H, L, D) — same entry layout as flash_upstream
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -194,3 +194,48 @@ def flash_v2_bhld(
         interpret=interpret,
     )(qb, kb, vb)
     return out.reshape(B, H, q_pad, D)[:, :, :L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_v2_bhld(
+    q: jnp.ndarray,  # (B, H, L, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable entry point. Forward = the software-pipelined kernel;
+    backward = the upstream flash kernel's VJP (the exact same math — both
+    compute softmax(q kᵀ/√D) v — so gradients differ only at bf16 rounding),
+    which keeps the backward O(block²) in VMEM instead of materializing the
+    (L, L) score tensor. Under `interpret` (CPU tests) the backward is the
+    standard fp32 einsum SDPA gradient instead."""
+    return _flash_v2_impl(q, k, v, interpret)
+
+
+def _v2_fwd(q, k, v, interpret):
+    return _flash_v2_impl(q, k, v, interpret), (q, k, v)
+
+
+def _v2_bwd(interpret, res, do):
+    q, k, v = res
+    if not interpret:
+        from stable_virtual_camera_tpu.ops.flash_upstream import (
+            flash_attention_upstream_bhld,
+        )
+
+        _, vjp = jax.vjp(flash_attention_upstream_bhld, q, k, v)
+        return vjp(do)
+
+    D = q.shape[-1]
+    qf, kf, vf, dof = (t.astype(jnp.float32) for t in (q, k, v, do))
+    s = jnp.einsum("bhld,bhsd->bhls", qf, kf) * (D**-0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhls,bhld->bhsd", p, dof)
+    dp = jnp.einsum("bhld,bhsd->bhls", dof, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * (D**-0.5)
+    dq = jnp.einsum("bhls,bhsd->bhld", ds, kf)
+    dk = jnp.einsum("bhls,bhld->bhsd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_v2_bhld.defvjp(_v2_fwd, _v2_bwd)

@@ -356,3 +356,31 @@ def test_layer_norm_fp32_matches_flax():
     ref = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
     out = layer_norm_fp32(x, gamma, beta, 1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_v2_grads_match_xla_interpret():
+    """flash_v2's custom VJP (einsum backward under interpret) == jax.grad
+    of plain einsum attention."""
+    from stable_virtual_camera_tpu.ops.flash_v2 import flash_v2_bhld
+
+    rng = np.random.default_rng(21)
+    B, H, L, D = 1, 2, 850, 64  # masked-tail block layout
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_flash(q, k, v):
+        return (flash_v2_bhld(q, k, v, True) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        s = jnp.einsum("bhld,bhsd->bhls", q, k) * (D**-0.5)
+        p = jax.nn.softmax(s, -1)
+        return ((p @ v) ** 2).sum()
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-3, rtol=1e-2, err_msg=name
+        )
