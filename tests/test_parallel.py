@@ -382,3 +382,35 @@ def test_engine_semi_dense_large_T_on_mesh(tmp_path):
     assert len(pngs) == n_tgt
     # every shape bucket ran sharded (no silent single-device fallback)
     assert bundle.denoiser._warned_unsharded == set()
+
+
+def test_sharded_denoiser_progress_uses_coarse_scan(setup):
+    """View-sharded UNetDenoiser.sample with a progress callback routes to
+    the coarse single-dispatch scan (io_callback placement under pjit is
+    per-device): one tick per chunk, result == the no-progress sharded path."""
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    spec, network_fn, noise, cond, plan = setup
+    T = spec.num_frames
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            tt = (t_vec.astype(jnp.float32) / 1000.0)[:, None, None, None]
+            return (
+                0.1 * jnp.tanh(net_in[..., :4])
+                + 0.03 * tt
+                + variables["params"]["w"]
+            )
+
+    mesh = make_mesh(n_data=1, n_view=8)
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)}, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    with mesh:
+        fast = den.sample(noise, plan, cond, key)
+        ticks = []
+        tracked = den.sample(
+            noise, plan, cond, key,
+            progress_cb=lambda i, t: ticks.append((i, t)),
+        )
+    assert ticks == [(plan.num_steps, plan.num_steps)]
+    np.testing.assert_allclose(np.asarray(tracked), np.asarray(fast), rtol=0, atol=0)
