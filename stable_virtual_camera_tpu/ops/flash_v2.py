@@ -8,12 +8,16 @@ predicts: the VPU softmax sits on the critical path between the two MXU ops.
 
 This kernel overlaps them with a 2-stage software pipeline across grid steps:
 
-    step j:  MXU: PV for chunk j-1 (p/corr from VMEM scratch, v lagged one
-                  grid step via its BlockSpec index_map)
-             MXU: QK for chunk j            (independent of the drain)
+    step j:  MXU: QK for chunk j            (independent of the drain)
              VPU: softmax state for chunk j (waits only on its own QK)
+             MXU: PV for chunk j-1 (p/corr from parity-buffered VMEM
+                  scratch, v lagged one grid step via its BlockSpec
+                  index_map — independent of this step's softmax)
 
-so the VPU work of chunk j hides behind the MXU queue [PV_{j-1}, QK_j]. The
+so softmax(j) on the VPU overlaps PV(j-1) on the MXU; the p/corr scratch is
+double-buffered by grid-step parity so the softmax stores carry no
+write-after-read hazard against the drain (with one buffer they would, and
+the scheduler would be forced back to the serialized upstream order). The
 last grid step (grid = n_k + 1) drains the final chunk and writes the output.
 
 Second structural win vs the upstream kernel: k-blocks here live in the
@@ -64,19 +68,13 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # drain: accumulate chunk j-1's PV (v_ref lags one step; p/corr are in
-    # scratch). Emitted BEFORE the fill so the MXU queue holds [PV, QK]
-    # while the VPU runs this step's softmax.
-    @pl.when(j > 0)
-    def _():
-        acc_ref[0] = acc_ref[0] * c_ref[0, :, :1] + jax.lax.dot_general(
-            p_ref[0],
-            v_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def fill(masked: bool):
+    # p/corr scratch is DOUBLE-BUFFERED by grid-step parity: fill(j) writes
+    # buffer j%2 while the drain of chunk j-1 reads buffer (j-1)%2. With a
+    # single buffer the fill's softmax stores would carry a write-after-read
+    # hazard against the drain's PV matmul, serializing exactly the two ops
+    # the pipeline exists to overlap; with two buffers the scheduler is free
+    # to run softmax(j) on the VPU while PV(j-1) occupies the MXU.
+    def fill(masked: bool, buf: int):
         s = (
             jax.lax.dot_general(
                 q_ref[0],
@@ -99,21 +97,38 @@ def _kernel(
             p, axis=-1, keepdims=True
         )
         m_ref[0, :, :1] = m_new
-        c_ref[0, :, :1] = corr
-        p_ref[0] = p.astype(p_ref.dtype)
+        c_ref[buf, :, :1] = corr
+        p_ref[buf] = p.astype(p_ref.dtype)
 
-    if mask_last:
-        @pl.when(j < n_k - 1)
-        def _():
-            fill(False)
+    def drain(buf: int):
+        acc_ref[0] = acc_ref[0] * c_ref[buf, :, :1] + jax.lax.dot_general(
+            p_ref[buf],
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-        @pl.when(j == n_k - 1)
-        def _():
-            fill(True)
-    else:
-        @pl.when(j < n_k)
-        def _():
-            fill(False)
+    # fill first (QK on the MXU, softmax on the VPU), then drain chunk j-1
+    # (PV on the MXU, reading the OTHER parity buffer; v_ref lags one grid
+    # step via its BlockSpec index_map). Static parity branches keep every
+    # scratch index constant for Mosaic.
+    for par in (0, 1):
+        if mask_last:
+            @pl.when((j % 2 == par) & (j < n_k - 1))
+            def _(par=par):
+                fill(False, par)
+
+            @pl.when((j % 2 == par) & (j == n_k - 1))
+            def _(par=par):
+                fill(True, par)
+        else:
+            @pl.when((j % 2 == par) & (j < n_k))
+            def _(par=par):
+                fill(False, par)
+
+        @pl.when((j % 2 == par) & (j > 0))
+        def _(par=par):
+            drain(1 - par)
 
     @pl.when(j == n_k)
     def _():
@@ -188,8 +203,8 @@ def _flash_v2_impl(
             pltpu.VMEM((1, q_blk, D), jnp.float32),      # acc
             pltpu.VMEM((1, q_blk, 128), jnp.float32),    # running max (col 0)
             pltpu.VMEM((1, q_blk, 128), jnp.float32),    # running sum (col 0)
-            pltpu.VMEM((1, q_blk, k_blk), jnp.bfloat16), # p of chunk j
-            pltpu.VMEM((1, q_blk, 128), jnp.float32),    # corr of chunk j
+            pltpu.VMEM((2, q_blk, k_blk), jnp.bfloat16), # p, parity-buffered
+            pltpu.VMEM((2, q_blk, 128), jnp.float32),    # corr, parity-buffered
         ],
         interpret=interpret,
     )(qb, kb, vb)
