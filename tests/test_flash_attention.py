@@ -151,6 +151,7 @@ def test_flash_trainable_grads_match_xla():
     [
         (1, 2, 1296, 64),  # zero-pad path (1296 = 648*2)
         (1, 1, 850, 64),   # masked last-block path
+        (1, 1, 1944, 64),  # odd block count (648*3): parity buffers rotate
     ],
 )
 def test_flash_v2_matches_xla_interpret(B, H, L, D):
