@@ -20,6 +20,7 @@ single-chunk metric stays the driver's round-over-round series.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -43,8 +44,6 @@ def main() -> None:
         make_sampling_plan,
         plan_to_device,
     )
-
-    import os
 
     h, w = H // 8, W // 8
     spec = SevaSpec()  # the flagship 1.3B configuration
@@ -304,7 +303,54 @@ def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
     shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def _await_device(max_wait_s: float) -> bool:
+    """Pre-flight: prove the accelerator answers before importing jax here.
+
+    A wedged axon relay hangs `jax.devices()` forever (it dials the relay at
+    backend init), which no in-process try/except can catch — so the probe
+    runs a tiny matmul in a SUBPROCESS with a hard timeout and retries until
+    `max_wait_s` elapses. Returns True when the device is healthy.
+    """
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((128, 128));"
+        "print('alive', float(np.asarray((x @ x)[0, 0])))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=120,
+            )
+            if "alive" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(
+            f"[bench] device unreachable (attempt {attempt}); retrying, "
+            f"{int(remaining)}s left in health window", file=sys.stderr,
+        )
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 if __name__ == "__main__":
+    wait_s = float(os.environ.get("SVC_BENCH_HEALTH_WAIT_S", "600"))
+    if wait_s > 0 and not _await_device(wait_s):
+        print(json.dumps({
+            "metric": "bench_error", "value": 0, "unit": "error",
+            "vs_baseline": 0,
+            "detail": "accelerator unreachable: device health probe "
+                      f"(128x128 matmul subprocess) failed for {int(wait_s)}s",
+        }))
+        sys.exit(1)
     try:
         if "--scenario" in sys.argv and "e2e" in sys.argv:
             idx = sys.argv.index("--frames") if "--frames" in sys.argv else -1
