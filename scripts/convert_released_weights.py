@@ -68,8 +68,9 @@ def _load_torch_or_safetensors(path: str) -> dict:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    for wrapper in ("state_dict", "model"):  # dust3r ckpts nest under "model"
+        if isinstance(sd, dict) and wrapper in sd:
+            sd = sd[wrapper]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
 
@@ -98,6 +99,10 @@ def main() -> None:
     ap.add_argument("--seva", help="path to model.safetensors (1.3B UNet)")
     ap.add_argument("--vae", help="path to SD2.1 VAE weights")
     ap.add_argument("--clip", help="path to OpenCLIP ViT-H-14 weights")
+    ap.add_argument(
+        "--dust3r",
+        help="path to DUSt3R_ViTLarge_BaseDecoder_512_dpt weights (.pth/.safetensors)",
+    )
     ap.add_argument("--out", required=True, help="output cache directory")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -175,8 +180,39 @@ def main() -> None:
         params_by_model["clip"] = params
         print(f"clip  converted OK: {manifest['totals']['clip']:,} params")
 
+    if args.dust3r:
+        from stable_virtual_camera_tpu.models.convert_dust3r import (
+            convert_dust3r_state_dict,
+        )
+        from stable_virtual_camera_tpu.models.dust3r import (
+            AsymmetricCroCoStereo,
+            Dust3rSpec,
+        )
+
+        digest = sha256(args.dust3r)
+        print(f"dust3r sha256={digest}")
+        manifest["inputs"]["dust3r"] = {"path": args.dust3r, "sha256": digest}
+        sd = _load_torch_or_safetensors(args.dust3r)
+        spec = Dust3rSpec()
+        # the preprocessor runs fp32 (host stage); keep weights fp32
+        params = convert_dust3r_state_dict(sd, spec)
+        net = AsymmetricCroCoStereo(spec)
+        p = spec.patch_size
+        shapes = jax.eval_shape(
+            lambda: net.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, p, p, 3)),
+                jnp.zeros((1, p, p, 3)),
+            )["params"]
+        )
+        manifest["totals"]["dust3r"] = _check_shapes(params, shapes)
+        params_by_model["dust3r"] = params
+        print(f"dust3r converted OK: {manifest['totals']['dust3r']:,} params")
+
     if not params_by_model:
-        ap.error("nothing to convert: pass at least one of --seva/--vae/--clip")
+        ap.error(
+            "nothing to convert: pass at least one of --seva/--vae/--clip/--dust3r"
+        )
 
     os.makedirs(args.out, exist_ok=True)
     save_converted(params_by_model, args.out)

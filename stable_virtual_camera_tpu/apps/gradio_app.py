@@ -22,6 +22,7 @@ Run: python -m stable_virtual_camera_tpu.apps.gradio_app --checkpoint_dir ...
 
 from __future__ import annotations
 
+import os
 import threading
 
 import numpy as np
@@ -40,6 +41,7 @@ def build_app(bundle, advanced: bool = True, renderer=None, num_steps: int = 50)
 
     from stable_virtual_camera_tpu.apps.preprocessor import (
         Dust3rPipeline,
+        NativeDust3rPipeline,
         dust3r_available,
     )
     from stable_virtual_camera_tpu.apps.renderer import (
@@ -54,7 +56,14 @@ def build_app(bundle, advanced: bool = True, renderer=None, num_steps: int = 50)
     )
 
     renderer = renderer or HeadlessRenderer(bundle, work_dir=WORK_DIR)
-    dust3r = Dust3rPipeline() if (advanced and dust3r_available()) else None
+    dust3r = None
+    if advanced:
+        if dust3r_available():  # external torch package (reference behavior)
+            dust3r = Dust3rPipeline()
+        elif os.environ.get("SVC_DUST3R_CKPT"):  # in-repo network + weights
+            dust3r = NativeDust3rPipeline(
+                weight_path=os.environ["SVC_DUST3R_CKPT"]
+            )
     abort_events: dict[str, threading.Event] = {}
     servers: dict[str, object] = {}
     gui_states: dict[str, object] = {}  # session -> viser editor GuiState

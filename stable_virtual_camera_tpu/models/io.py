@@ -79,6 +79,28 @@ def load_clip_params(
     return _cast_tree(params, param_dtype)
 
 
+def load_dust3r_params(weight_path: str, spec=None, param_dtype=jnp.float32):
+    """Converted DUSt3R stereo-network weights (safetensors or torch .pth;
+    reference checkpoint `naver/DUSt3R_ViTLarge_BaseDecoder_512_dpt`,
+    seva/modules/preprocessor.py:37-39)."""
+    from stable_virtual_camera_tpu.models.convert_dust3r import (
+        convert_dust3r_state_dict,
+    )
+    from stable_virtual_camera_tpu.models.dust3r import Dust3rSpec
+
+    spec = spec or Dust3rSpec()
+    if weight_path.endswith((".pth", ".pt")):
+        import torch
+
+        ckpt = torch.load(weight_path, map_location="cpu", weights_only=True)
+        sd = ckpt.get("model", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = _load_safetensors(weight_path)
+    params = convert_dust3r_state_dict(sd, spec)
+    return _cast_tree(params, param_dtype)
+
+
 def random_bundle(
     spec: SevaSpec | None = None,
     clip_spec: ClipVisionSpec | None = None,
@@ -197,7 +219,9 @@ def save_converted(params_by_model: dict, out_dir: str) -> None:
 
     path = os.path.abspath(out_dir)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, params_by_model)
+        # force: tolerate a pre-created/stale destination (the conversion CLI
+        # makedirs the output dir for manifest.json; re-conversion overwrites)
+        ckptr.save(path, params_by_model, force=True)
 
 
 def load_converted(out_dir: str) -> dict:
