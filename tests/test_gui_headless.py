@@ -243,3 +243,31 @@ def test_preprocess_advanced_with_native_aligner(monkeypatch, tmp_path, tiny_ren
         pre, camera_traj_list=traj, chunk_strategy="interp", num_steps=2
     )
     assert plan["first_pass_chunks"] >= 1
+
+
+@pytest.mark.slow
+def test_preprocess_advanced_with_native_network(tmp_path):
+    """Advanced-mode preprocessing with ZERO mocked stages: the in-repo flax
+    stereo network (models/dust3r.py, tiny spec) through the native global
+    aligner into the normalized Advanced scene dict."""
+    import cv2
+
+    from stable_virtual_camera_tpu.apps.preprocessor import NativeDust3rPipeline
+    from stable_virtual_camera_tpu.apps.renderer import preprocess_advanced
+    from stable_virtual_camera_tpu.models.dust3r import Dust3rSpec
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"nat{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+        paths.append(str(p))
+
+    pipe = NativeDust3rPipeline(spec=Dust3rSpec.tiny(), init_rng=0)
+    pre = preprocess_advanced(paths, pipe, shorter=64)
+
+    assert pre["input_imgs"].shape[0] == 3
+    assert pre["input_Ks"].shape == (3, 3, 3)
+    assert pre["input_c2ws"].shape == (3, 4, 4)
+    assert np.isfinite(pre["input_c2ws"]).all() and np.isfinite(pre["input_Ks"]).all()
+    assert len(pre["points"]) == 3 and all(np.isfinite(p).all() for p in pre["points"])
