@@ -19,8 +19,9 @@ import jax
 import numpy as np
 
 
-def save_train_state(path: str, params, opt_state, step: int) -> None:
-    """Write params, optimizer state and the step counter to `path`."""
+def save_train_state(path: str, params, opt_state, step: int, ema_params=None) -> None:
+    """Write params, optimizer state, the step counter and (optionally) the
+    EMA shadow params to `path`."""
     import orbax.checkpoint as ocp
 
     payload = {
@@ -28,6 +29,8 @@ def save_train_state(path: str, params, opt_state, step: int) -> None:
         "opt_leaves": list(jax.tree.leaves(opt_state)),
         "step": np.asarray(step, np.int64),
     }
+    if ema_params is not None:
+        payload["ema_params"] = ema_params
     with ocp.PyTreeCheckpointer() as ckptr:
         # force: periodic saves overwrite the same path (orbax errors on an
         # existing destination otherwise)
@@ -35,13 +38,19 @@ def save_train_state(path: str, params, opt_state, step: int) -> None:
 
 
 def restore_train_state(path: str, opt_state_template):
-    """Returns (params, opt_state, step). `opt_state_template` supplies the
-    optax state STRUCTURE (e.g. `optimizer.init(params)` on fresh params);
-    its leaf values are ignored."""
+    """Returns (params, opt_state, step) — or (params, opt_state, step,
+    ema_params) when the checkpoint carries an EMA. `opt_state_template`
+    supplies the optax state STRUCTURE (e.g. `optimizer.init(params)` on
+    fresh params); its leaf values are ignored."""
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         payload = ckptr.restore(os.path.abspath(path))
     treedef = jax.tree.structure(opt_state_template)
     opt_state = jax.tree.unflatten(treedef, payload["opt_leaves"])
+    if "ema_params" in payload:
+        return (
+            payload["params"], opt_state, int(payload["step"]),
+            payload["ema_params"],
+        )
     return payload["params"], opt_state, int(payload["step"])

@@ -142,6 +142,55 @@ def make_train_step(
     return step
 
 
+def ema_update(ema_params, params, decay: float):
+    """Shadow-parameter EMA: ema <- decay*ema + (1-decay)*params, computed in
+    fp32 and cast back (bf16 shadows would stop absorbing ~1e-3 updates).
+    Standard practice for diffusion models — samples come from the EMA
+    weights, not the raw optimizer iterates; the reference's released
+    checkpoint is itself such an EMA snapshot (inference-only repo)."""
+    decay = jnp.float32(decay)
+
+    def one(e, p):
+        e32 = e.astype(jnp.float32)
+        return (e32 + (p.astype(jnp.float32) - e32) * (1.0 - decay)).astype(e.dtype)
+
+    return jax.tree.map(one, ema_params, params)
+
+
+def make_train_step_ema(
+    unet,
+    optimizer: optax.GradientTransformation,
+    num_frames: int,
+    ema_decay: float = 0.9999,
+    discretization: DDPMDiscretization | None = None,
+    remat: bool = False,
+):
+    """make_train_step + shadow-EMA maintenance in the same jitted program:
+    `step(params, opt_state, ema_params, batch, key) ->
+    (params, opt_state, ema_params, loss)`, all states donated."""
+    discretization = discretization or DDPMDiscretization()
+    registered = jnp.asarray(discretization.registered_sigmas())
+    network_fn = make_network_fn(unet)
+    if remat:
+        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
+    loss_fn = partial(
+        diffusion_loss,
+        network_fn=network_fn,
+        registered_sigmas=registered,
+        num_frames=num_frames,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, ema_params, batch: TrainBatch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, ema_params, loss
+
+    return step
+
+
 def make_sharded_train_step(
     unet,
     optimizer: optax.GradientTransformation,

@@ -147,3 +147,58 @@ def test_remat_step_matches_plain(setup):
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ema_step_tracks_params(setup, tmp_path):
+    """EMA shadow = exact exponential average of the iterates; the regular
+    params match a plain (non-EMA) run bitwise; checkpoint round-trips the
+    shadow tree."""
+    from stable_virtual_camera_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+    from stable_virtual_camera_tpu.training.train_step import make_train_step_ema
+
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    decay = 0.5  # aggressive so divergence from params is visible in 3 steps
+    opt = optax.adamw(1e-3)
+    plain = make_train_step(unet, opt, T)
+    ema_step = make_train_step_ema(unet, opt, T, ema_decay=decay)
+    keys = [jax.random.PRNGKey(7 + i) for i in range(3)]
+
+    p1, s1 = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+    p2, s2 = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+    e2 = jax.tree_util.tree_map(jnp.copy, params)
+    trail = [jax.tree_util.tree_map(jnp.copy, params)]
+    for k in keys:
+        p1, s1, _ = plain(p1, s1, batch, k)
+        trail.append(jax.tree_util.tree_map(jnp.copy, p1))
+        p2, s2, e2, _ = ema_step(p2, s2, e2, batch, k)
+
+    # raw params identical to the plain run
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # shadow equals the closed-form exponential average of the iterates
+    expect = trail[0]
+    for it in trail[1:]:
+        expect = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1 - decay), expect, it
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(expect), jax.tree_util.tree_leaves(e2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and differs from the raw params (decay pulls toward history)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(e2))
+    ]
+    assert max(diffs) > 1e-5
+
+    ckpt = tmp_path / "ema_state"
+    save_train_state(str(ckpt), p2, s2, step=3, ema_params=e2)
+    rp, rs, n, re = restore_train_state(str(ckpt), opt.init(params))
+    assert n == 3
+    for a, b in zip(jax.tree_util.tree_leaves(e2), jax.tree_util.tree_leaves(re)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
