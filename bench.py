@@ -322,10 +322,13 @@ def _await_device(max_wait_s: float) -> bool:
     attempt = 0
     while True:
         attempt += 1
+        # clamp each probe to the remaining window so the gate never
+        # overshoots SVC_BENCH_HEALTH_WAIT_S by a full probe timeout
+        probe_timeout = min(120.0, max(5.0, deadline - time.monotonic()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=120,
+                text=True, timeout=probe_timeout,
             )
             if "alive" in r.stdout:
                 return True

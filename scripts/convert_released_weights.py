@@ -67,7 +67,12 @@ def _load_torch_or_safetensors(path: str) -> dict:
         return out
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # the released dust3r .pth pickles an argparse.Namespace under
+        # ckpt["args"], which weights_only rejects
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     for wrapper in ("state_dict", "model"):  # dust3r ckpts nest under "model"
         if isinstance(sd, dict) and wrapper in sd:
             sd = sd[wrapper]
@@ -215,8 +220,15 @@ def main() -> None:
         )
 
     os.makedirs(args.out, exist_ok=True)
-    save_converted(params_by_model, args.out)
-    with open(osp.join(args.out, "manifest.json"), "w") as f:
+    save_converted(params_by_model, args.out)  # merges with prior conversions
+    mpath = osp.join(args.out, "manifest.json")
+    if osp.exists(mpath):  # incremental run: keep the other models' records
+        with open(mpath) as f:
+            prior = json.load(f)
+        prior.get("inputs", {}).update(manifest["inputs"])
+        prior.get("totals", {}).update(manifest["totals"])
+        manifest = {**prior, "dtype": manifest["dtype"]}
+    with open(mpath, "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"wrote {args.out} (manifest.json records input hashes)")
 

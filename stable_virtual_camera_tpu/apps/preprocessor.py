@@ -220,9 +220,13 @@ class NativeDust3rPipeline:
                 jnp.zeros((1, p * 2, p * 2, 3)),
             )["params"]
         self.params = params
-        self._apply = jax.jit(
-            lambda a, b: self.model.apply({"params": self.params}, a, b)
+        # params as a traced ARGUMENT, not a closure constant: a closure
+        # would bake the ~2.3 GB ViT-L tree into every (shape1, shape2)
+        # bucket's executable as literal constants
+        self._jit = jax.jit(
+            lambda p, a, b: self.model.apply({"params": p}, a, b)
         )
+        self._apply = lambda a, b: self._jit(self.params, a, b)
 
     def infer_cameras_and_points(
         self,

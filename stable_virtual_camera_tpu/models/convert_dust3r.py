@@ -172,10 +172,9 @@ def convert_dust3r_state_dict(
         if k not in used
         and not k.startswith(("mask_token", "prediction_head"))
         and ".act_postprocess." not in k  # ModuleList aliases of act_{i}_...
-        and ".resConfUnit1." not in k.replace("refinenet4", "")  # see _dpt_head
+        # refinenet4's resConfUnit1 is instantiated-but-unused in torch
+        and ".refinenet4.resConfUnit1." not in k
     )
-    # refinenet4's resConfUnit1 is instantiated-but-unused in torch
-    leftovers = [k for k in leftovers if ".refinenet4.resConfUnit1." not in k]
     if leftovers:
         print(f"[convert_dust3r] {len(leftovers)} unconsumed torch keys, e.g. "
               f"{leftovers[:8]}")

@@ -92,7 +92,13 @@ def load_dust3r_params(weight_path: str, spec=None, param_dtype=jnp.float32):
     if weight_path.endswith((".pth", ".pt")):
         import torch
 
-        ckpt = torch.load(weight_path, map_location="cpu", weights_only=True)
+        try:
+            ckpt = torch.load(weight_path, map_location="cpu", weights_only=True)
+        except Exception:
+            # the released dust3r .pth pickles an argparse.Namespace under
+            # ckpt["args"], which weights_only rejects — fall back for the
+            # documented checkpoint format
+            ckpt = torch.load(weight_path, map_location="cpu", weights_only=False)
         sd = ckpt.get("model", ckpt)
         sd = {k: v.numpy() for k, v in sd.items()}
     else:
@@ -218,6 +224,13 @@ def save_converted(params_by_model: dict, out_dir: str) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(out_dir)
+    # MERGE with any previously converted models so incremental runs
+    # (--seva today, --dust3r tomorrow, same --out) accumulate instead of
+    # silently erasing each other; the new trees win on key collision.
+    if os.path.exists(os.path.join(path, "_METADATA")):
+        existing = load_converted(path)
+        existing.update(params_by_model)
+        params_by_model = existing
     with ocp.PyTreeCheckpointer() as ckptr:
         # force: tolerate a pre-created/stale destination (the conversion CLI
         # makedirs the output dir for manifest.json; re-conversion overwrites)

@@ -38,19 +38,20 @@ def save_train_state(path: str, params, opt_state, step: int, ema_params=None) -
 
 
 def restore_train_state(path: str, opt_state_template):
-    """Returns (params, opt_state, step) — or (params, opt_state, step,
-    ema_params) when the checkpoint carries an EMA. `opt_state_template`
-    supplies the optax state STRUCTURE (e.g. `optimizer.init(params)` on
-    fresh params); its leaf values are ignored."""
+    """Returns the fixed 4-tuple (params, opt_state, step, ema_params);
+    ema_params is None for checkpoints saved without an EMA, so caller arity
+    never depends on checkpoint contents. `opt_state_template` supplies the
+    optax state STRUCTURE (e.g. `optimizer.init(params)` on fresh params);
+    its leaf values are ignored."""
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         payload = ckptr.restore(os.path.abspath(path))
     treedef = jax.tree.structure(opt_state_template)
     opt_state = jax.tree.unflatten(treedef, payload["opt_leaves"])
-    if "ema_params" in payload:
-        return (
-            payload["params"], opt_state, int(payload["step"]),
-            payload["ema_params"],
-        )
-    return payload["params"], opt_state, int(payload["step"])
+    return (
+        payload["params"],
+        opt_state,
+        int(payload["step"]),
+        payload.get("ema_params"),
+    )

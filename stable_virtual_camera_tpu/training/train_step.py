@@ -104,44 +104,6 @@ def make_network_fn(unet):
     return network_fn
 
 
-def make_train_step(
-    unet,
-    optimizer: optax.GradientTransformation,
-    num_frames: int,
-    discretization: DDPMDiscretization | None = None,
-    remat: bool = False,
-):
-    """Returns jitted `step(params, opt_state, batch, key) ->
-    (params, opt_state, loss)` with params/opt_state donated.
-
-    `remat=True` wraps the network forward in `jax.checkpoint`: the backward
-    pass recomputes activations instead of holding them, trading ~1 extra
-    forward of FLOPs for the activation footprint — what makes the 1.3B
-    model's T=21 backward fit one chip's HBM. Numerics are identical
-    (same ops, same order)."""
-    discretization = discretization or DDPMDiscretization()
-    registered = jnp.asarray(discretization.registered_sigmas())
-    network_fn = make_network_fn(unet)
-    if remat:
-        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
-
-    loss_fn = partial(
-        diffusion_loss,
-        network_fn=network_fn,
-        registered_sigmas=registered,
-        num_frames=num_frames,
-    )
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch: TrainBatch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return step
-
-
 def ema_update(ema_params, params, decay: float):
     """Shadow-parameter EMA: ema <- decay*ema + (1-decay)*params, computed in
     fp32 and cast back (bf16 shadows would stop absorbing ~1e-3 updates).
@@ -157,6 +119,63 @@ def ema_update(ema_params, params, decay: float):
     return jax.tree.map(one, ema_params, params)
 
 
+def _make_loss_fn(unet, num_frames, discretization, remat):
+    discretization = discretization or DDPMDiscretization()
+    registered = jnp.asarray(discretization.registered_sigmas())
+    network_fn = make_network_fn(unet)
+    if remat:
+        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
+    return partial(
+        diffusion_loss,
+        network_fn=network_fn,
+        registered_sigmas=registered,
+        num_frames=num_frames,
+    )
+
+
+def make_train_step(
+    unet,
+    optimizer: optax.GradientTransformation,
+    num_frames: int,
+    discretization: DDPMDiscretization | None = None,
+    remat: bool = False,
+    ema_decay: float | None = None,
+):
+    """Returns jitted `step(params, opt_state, batch, key) ->
+    (params, opt_state, loss)` with params/opt_state donated — or, with
+    `ema_decay` set, `step(params, opt_state, ema_params, batch, key) ->
+    (params, opt_state, ema_params, loss)` maintaining shadow-EMA weights
+    inside the same jitted program (all three states donated).
+
+    `remat=True` wraps the network forward in `jax.checkpoint`: the backward
+    pass recomputes activations instead of holding them, trading ~1 extra
+    forward of FLOPs for the activation footprint — what makes the 1.3B
+    model's T=21 backward fit one chip's HBM. Numerics are identical
+    (same ops, same order)."""
+    loss_fn = _make_loss_fn(unet, num_frames, discretization, remat)
+
+    if ema_decay is None:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, batch: TrainBatch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def ema_step(params, opt_state, ema_params, batch: TrainBatch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, ema_params, loss
+
+    return ema_step
+
+
 def make_train_step_ema(
     unet,
     optimizer: optax.GradientTransformation,
@@ -165,30 +184,11 @@ def make_train_step_ema(
     discretization: DDPMDiscretization | None = None,
     remat: bool = False,
 ):
-    """make_train_step + shadow-EMA maintenance in the same jitted program:
-    `step(params, opt_state, ema_params, batch, key) ->
-    (params, opt_state, ema_params, loss)`, all states donated."""
-    discretization = discretization or DDPMDiscretization()
-    registered = jnp.asarray(discretization.registered_sigmas())
-    network_fn = make_network_fn(unet)
-    if remat:
-        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
-    loss_fn = partial(
-        diffusion_loss,
-        network_fn=network_fn,
-        registered_sigmas=registered,
-        num_frames=num_frames,
+    """Named convenience for make_train_step(..., ema_decay=...)."""
+    return make_train_step(
+        unet, optimizer, num_frames,
+        discretization=discretization, remat=remat, ema_decay=ema_decay,
     )
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, ema_params, batch: TrainBatch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        ema_params = ema_update(ema_params, params, ema_decay)
-        return params, opt_state, ema_params, loss
-
-    return step
 
 
 def make_sharded_train_step(
@@ -204,17 +204,7 @@ def make_sharded_train_step(
     optimizer state replicated; GSPMD inserts the gradient all-reduces."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    discretization = discretization or DDPMDiscretization()
-    registered = jnp.asarray(discretization.registered_sigmas())
-    network_fn = make_network_fn(unet)
-    if remat:
-        network_fn = jax.checkpoint(network_fn, static_argnums=(6,))
-    loss_fn = partial(
-        diffusion_loss,
-        network_fn=network_fn,
-        registered_sigmas=registered,
-        num_frames=num_frames,
-    )
+    loss_fn = _make_loss_fn(unet, num_frames, discretization, remat)
 
     repl = NamedSharding(mesh, P())
     vs = lambda rank: NamedSharding(mesh, P("view", *([None] * (rank - 1))))  # noqa: E731

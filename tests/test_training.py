@@ -116,8 +116,8 @@ def test_checkpoint_resume_bit_identical(setup, tmp_path):
     save_train_state(str(ckpt), params, opt.init(params), step=0)
     save_train_state(str(ckpt), p2, s2, step=2)
 
-    p3, s3, n = restore_train_state(str(ckpt), opt.init(params))
-    assert n == 2
+    p3, s3, n, ema = restore_train_state(str(ckpt), opt.init(params))
+    assert n == 2 and ema is None
     p3 = jax.tree_util.tree_map(jnp.asarray, p3)
     s3 = jax.tree_util.tree_map(jnp.asarray, s3)
     for k in keys[2:]:
@@ -199,6 +199,6 @@ def test_ema_step_tracks_params(setup, tmp_path):
     ckpt = tmp_path / "ema_state"
     save_train_state(str(ckpt), p2, s2, step=3, ema_params=e2)
     rp, rs, n, re = restore_train_state(str(ckpt), opt.init(params))
-    assert n == 3
+    assert n == 3 and re is not None
     for a, b in zip(jax.tree_util.tree_leaves(e2), jax.tree_util.tree_leaves(re)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
