@@ -22,7 +22,7 @@ from stable_virtual_camera_tpu.models import io as mio
 
 
 def main(unet: str | None = None, vae: str | None = None, clip: str | None = None,
-         out: str = "converted_ckpt"):
+         dust3r: str | None = None, out: str = "converted_ckpt"):
     params: dict = {}
     if unet:
         params["unet"] = mio.load_seva_params(unet, SevaSpec(), param_dtype=np.float32)
@@ -33,8 +33,11 @@ def main(unet: str | None = None, vae: str | None = None, clip: str | None = Non
     if clip:
         params["clip"] = mio.load_clip_params(clip, ClipVisionSpec(), param_dtype=np.float32)
         print("[convert] clip converted")
-    assert params, "nothing to convert; pass --unet/--vae/--clip"
-    mio.save_converted(params, out)
+    if dust3r:
+        params["dust3r"] = mio.load_dust3r_params(dust3r)
+        print("[convert] dust3r stereo net converted")
+    assert params, "nothing to convert; pass --unet/--vae/--clip/--dust3r"
+    mio.save_converted(params, out)  # merges with any prior conversion in `out`
     print(f"[convert] saved converted checkpoint to {out}")
 
 
