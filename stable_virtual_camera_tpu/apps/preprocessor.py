@@ -204,9 +204,17 @@ class NativeDust3rPipeline:
         self.spec = spec or Dust3rSpec()
         self.model = AsymmetricCroCoStereo(self.spec, dtype=dtype or jnp.float32)
         if params is None and weight_path is not None:
-            from stable_virtual_camera_tpu.models.io import load_dust3r_params
+            import os
 
-            params = load_dust3r_params(weight_path, spec=self.spec)
+            if os.path.isdir(weight_path):
+                # converted orbax cache (apps/convert_weights.py --dust3r)
+                from stable_virtual_camera_tpu.models.io import load_converted
+
+                params = load_converted(weight_path)["dust3r"]
+            else:
+                from stable_virtual_camera_tpu.models.io import load_dust3r_params
+
+                params = load_dust3r_params(weight_path, spec=self.spec)
         if params is None:
             if init_rng is None:
                 raise ValueError(
