@@ -475,3 +475,22 @@ def test_factory_returns_native_backend():
         pytest.skip("external dust3r present")
     pipe = P.make_dust3r_pipeline(spec=SPEC, init_rng=0)
     assert isinstance(pipe, P.NativeDust3rPipeline)
+
+
+@pytest.mark.slow
+def test_native_pipeline_mixed_aspects(tmp_path):
+    """Images with different aspect ratios exercise the ragged
+    (per-edge-shape) path through edges_from_dust3r_output."""
+    from stable_virtual_camera_tpu.apps.preprocessor import NativeDust3rPipeline
+
+    paths = _write_images(tmp_path, [(80, 60), (60, 80), (64, 64)])
+    pipe = NativeDust3rPipeline(spec=SPEC, init_rng=0)
+    imgs, Ks, c2ws, points, colors = pipe.infer_cameras_and_points(
+        paths, niter=6, min_conf_thr=1
+    )
+    assert isinstance(imgs, list) and len(imgs) == 3  # non-uniform set
+    assert {im.shape for im in imgs} == {(48, 64, 3), (64, 48, 3), (64, 64, 3)}
+    assert Ks.shape == (3, 3, 3) and c2ws.shape == (3, 4, 4)
+    assert np.isfinite(c2ws).all()
+    for p, c in zip(points, colors):
+        assert p.shape[1] == 3 and len(p) == len(c)
