@@ -431,5 +431,10 @@ def _parse_argv(argv):
     return kwargs
 
 
-if __name__ == "__main__":
+def _main():
+    """console_scripts entry (svc-render)."""
     main(**_parse_argv(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    _main()

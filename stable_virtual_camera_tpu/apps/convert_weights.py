@@ -45,3 +45,10 @@ if __name__ == "__main__":
     from stable_virtual_camera_tpu.apps.cli import _parse_argv
 
     main(**_parse_argv(sys.argv[1:]))
+
+
+def _main():
+    """console_scripts entry (svc-convert)."""
+    from stable_virtual_camera_tpu.apps.cli import _parse_argv
+
+    main(**_parse_argv(sys.argv[1:]))
