@@ -198,10 +198,13 @@ def make_sharded_train_step(
     mesh,
     discretization: DDPMDiscretization | None = None,
     remat: bool = False,
+    ema_decay: float | None = None,
 ):
     """Training step jitted over a ("data","view") mesh: the frame axis of the
     batch shards over 'view' (same layout as sharded sampling), params and
-    optimizer state replicated; GSPMD inserts the gradient all-reduces."""
+    optimizer state replicated; GSPMD inserts the gradient all-reduces.
+    With `ema_decay`, the step carries replicated EMA shadow params exactly
+    like make_train_step(ema_decay=...)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     loss_fn = _make_loss_fn(unet, num_frames, discretization, remat)
@@ -212,18 +215,113 @@ def make_sharded_train_step(
         latents=vs(4), concat=vs(4), crossattn=vs(3), dense=vs(4), loss_mask=vs(1)
     )
 
-    def _step(params, opt_state, batch, key):
+    if ema_decay is None:
+
+        def _step(params, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(
+            _step,
+            in_shardings=(None, None, batch_sh, repl),
+            out_shardings=(None, None, repl),
+            donate_argnums=(0, 1),
+        )
+
+    def _ema_step(params, opt_state, ema_params, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, ema_params, loss
 
     return jax.jit(
-        _step,
-        in_shardings=(None, None, batch_sh, repl),
-        out_shardings=(None, None, repl),
-        donate_argnums=(0, 1),
+        _ema_step,
+        in_shardings=(None, None, None, batch_sh, repl),
+        out_shardings=(None, None, None, repl),
+        donate_argnums=(0, 1, 2),
     )
+
+
+def make_fsdp_train_step(
+    unet,
+    optimizer: optax.GradientTransformation,
+    num_frames: int,
+    mesh,
+    params_template,
+    shard_axis: str = "data",
+    discretization: DDPMDiscretization | None = None,
+    remat: bool = False,
+    ema_decay: float | None = None,
+    min_size: int = 2,
+):
+    """ZeRO-3/FSDP training step: every parameter, optimizer-state and EMA
+    leaf is sharded leaf-wise over `shard_axis` (largest divisible dim,
+    parallel/param_sharding.py) instead of replicated — XLA all-gathers each
+    weight just before use and reduce-scatters its gradient. Cuts the
+    per-chip weight+AdamW footprint ~axis-fold (the 1.3B model's fp32 AdamW
+    state alone is ~16 GB). The batch's frame axis still shards over 'view'
+    when the mesh has one.
+
+    Returns `(step, init)`: `init(params)` device_puts the params into their
+    sharded layout and builds the matching sharded optimizer state;
+    `step` has the make_train_step signature (plus EMA with `ema_decay`).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stable_virtual_camera_tpu.parallel.param_sharding import (
+        tree_shardings,
+    )
+
+    loss_fn = _make_loss_fn(unet, num_frames, discretization, remat)
+    param_sh = tree_shardings(params_template, mesh, shard_axis, min_size)
+    opt_sh = tree_shardings(
+        jax.eval_shape(optimizer.init, params_template), mesh, shard_axis,
+        min_size,
+    )
+    repl = NamedSharding(mesh, P())
+    vs = lambda rank: NamedSharding(mesh, P("view", *([None] * (rank - 1))))  # noqa: E731
+    batch_sh = TrainBatch(
+        latents=vs(4), concat=vs(4), crossattn=vs(3), dense=vs(4), loss_mask=vs(1)
+    )
+
+    def init(params):
+        params = jax.device_put(params, param_sh)
+        opt_state = jax.jit(optimizer.init, out_shardings=opt_sh)(params)
+        return params, opt_state
+
+    if ema_decay is None:
+
+        def _step(params, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        step = jax.jit(
+            _step,
+            in_shardings=(param_sh, opt_sh, batch_sh, repl),
+            out_shardings=(param_sh, opt_sh, repl),
+            donate_argnums=(0, 1),
+        )
+        return step, init
+
+    def _ema_step(params, opt_state, ema_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_update(ema_params, params, ema_decay)
+        return params, opt_state, ema_params, loss
+
+    step = jax.jit(
+        _ema_step,
+        in_shardings=(param_sh, opt_sh, param_sh, batch_sh, repl),
+        out_shardings=(param_sh, opt_sh, param_sh, repl),
+        donate_argnums=(0, 1, 2),
+    )
+    return step, init
 
 
 def synthetic_batch(spec, T: int, h: int, w: int, key) -> TrainBatch:

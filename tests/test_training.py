@@ -202,3 +202,98 @@ def test_ema_step_tracks_params(setup, tmp_path):
     assert n == 3 and re is not None
     for a, b in zip(jax.tree_util.tree_leaves(e2), jax.tree_util.tree_leaves(re)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_sharded_ema_step_matches_unsharded(setup):
+    """EMA variant of the sharded step == the unsharded EMA step."""
+    from stable_virtual_camera_tpu.training.train_step import (
+        make_sharded_train_step,
+    )
+
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    plain = make_train_step(unet, opt, T, ema_decay=0.9)
+    key = jax.random.PRNGKey(11)
+
+    p1, s1 = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+    e1 = jax.tree_util.tree_map(jnp.copy, params)
+    p1, s1, e1, l1 = plain(p1, s1, e1, batch, key)
+
+    mesh = make_mesh(n_data=1, n_view=8)
+    with mesh:
+        sharded = make_sharded_train_step(unet, opt, T, mesh, ema_decay=0.9)
+        p2, s2 = jax.tree_util.tree_map(jnp.copy, params), opt.init(params)
+        e2 = jax.tree_util.tree_map(jnp.copy, params)
+        p2, s2, e2, l2 = sharded(p2, s2, e2, batch, key)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(e1), jax.tree_util.tree_leaves(e2)):
+        # same tolerance rationale as test_sharded_step_matches_unsharded
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_multisteps(setup):
+    """optax.MultiSteps composes with the step builder: k accumulation
+    micro-steps apply ONE update equal to the step on the averaged gradient
+    (same batch+key -> identical gradient each micro-step, so the average is
+    that gradient)."""
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    key = jax.random.PRNGKey(4)
+
+    base = optax.adamw(1e-3)
+    plain = make_train_step(unet, base, T)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    s1 = base.init(p1)
+    p1, s1, _ = plain(p1, s1, batch, key)
+
+    acc = optax.MultiSteps(base, every_k_schedule=2)
+    step = make_train_step(unet, acc, T)
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    s2 = acc.init(p2)
+    p2, s2, _ = step(p2, s2, batch, key)  # micro-step 1: params unchanged
+    mid = jax.tree_util.tree_leaves(p2)[0]
+    np.testing.assert_array_equal(
+        np.asarray(mid), np.asarray(jax.tree_util.tree_leaves(params)[0])
+    )
+    p2, s2, _ = step(p2, s2, batch, key)  # micro-step 2: one real update
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fsdp_step_matches_unsharded(setup):
+    """ZeRO-3/FSDP: params + AdamW state sharded leaf-wise over 'data' ==
+    the plain replicated step, and the optimizer-state leaves really live
+    sharded (per-device footprint drops)."""
+    from stable_virtual_camera_tpu.training.train_step import (
+        make_fsdp_train_step,
+    )
+
+    spec, unet, params, batch = setup
+    T = spec.num_frames
+    opt = optax.adamw(1e-3)
+    key = jax.random.PRNGKey(21)
+
+    plain = make_train_step(unet, opt, T)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    s1 = opt.init(p1)
+    p1, s1, l1 = plain(p1, s1, batch, key)
+
+    mesh = make_mesh(n_data=8, n_view=1)
+    with mesh:
+        step, init = make_fsdp_train_step(unet, opt, T, mesh, params)
+        p2, s2 = init(jax.tree_util.tree_map(jnp.copy, params))
+        # the big leaves are actually distributed, not replicated
+        leaf = max(jax.tree_util.tree_leaves(p2), key=lambda x: x.size)
+        shard_size = leaf.addressable_shards[0].data.size
+        assert shard_size == leaf.size // 8, (leaf.shape, shard_size)
+        p2, s2, l2 = step(p2, s2, batch, key)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
