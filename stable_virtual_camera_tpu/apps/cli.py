@@ -222,13 +222,25 @@ def _default_options() -> EngineOptions:
 
 
 def _build_bundle(checkpoint_dir, random_model, use_pallas=True, mesh_view=None,
-                  mesh_data=None):
+                  mesh_data=None, mesh_model=None):
     from stable_virtual_camera_tpu.models import io as mio
 
     mesh = None
     n_view = int(mesh_view) if mesh_view else 1
     n_data = int(mesh_data) if mesh_data else 1
-    if n_view > 1 or n_data > 1:
+    n_model = int(mesh_model) if mesh_model else 1
+    if n_model > 1:
+        # 3-D mesh: 'model' carries Megatron-style tensor parallelism of the
+        # UNet weights (parallel/param_sharding.py) on top of the 'view' /
+        # 'data' semantics below
+        from stable_virtual_camera_tpu.parallel.mesh import make_mesh_tp
+
+        mesh = make_mesh_tp(n_data=n_data, n_view=n_view, n_model=n_model)
+        print(
+            f"[cli] mesh sampling: data={n_data} x view={n_view} x "
+            f"model={n_model} devices"
+        )
+    elif n_view > 1 or n_data > 1:
         # 'view' shards frames inside every sampling program (requires
         # T % mesh_view == 0 per bucket, else that bucket runs unsharded);
         # 'data' fans independent second-pass chunks out in groups of
@@ -286,6 +298,7 @@ def main(
     work_dir=WORK_DIR,
     mesh_view=None,
     mesh_data=None,
+    mesh_model=None,
     platform=None,
     **overwrite_options,
 ):
@@ -301,7 +314,8 @@ def main(
 
         jax.config.update("jax_platforms", str(platform))
     bundle, is_tiny = _build_bundle(checkpoint_dir, random_model,
-                                    mesh_view=mesh_view, mesh_data=mesh_data)
+                                    mesh_view=mesh_view, mesh_data=mesh_data,
+                                    mesh_model=mesh_model)
     version = VersionConfig()
     if is_tiny:
         version = VersionConfig(H=64, W=64, T=bundle.spec.num_frames)

@@ -32,6 +32,26 @@ def make_mesh(
     return Mesh(grid, ("data", "view"))
 
 
+def make_mesh_tp(
+    n_data: int = 1, n_view: int = 1, n_model: int | None = None, devices=None
+) -> Mesh:
+    """3-D mesh ("data", "view", "model"): chunks x frames x weight shards.
+    The 'model' axis carries Megatron-style tensor parallelism
+    (parallel/param_sharding.py + sharding.make_tensor_parallel_sampler) and
+    FSDP weight sharding; `n_model=None` fills the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_model is None:
+        n_model = len(devices) // (n_data * n_view)
+    assert n_data * n_view * n_model <= len(devices), (
+        f"mesh {n_data}x{n_view}x{n_model} needs more than "
+        f"{len(devices)} devices"
+    )
+    grid = np.array(devices[: n_data * n_view * n_model]).reshape(
+        n_data, n_view, n_model
+    )
+    return Mesh(grid, ("data", "view", "model"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -139,3 +139,58 @@ def make_data_parallel_sampler(network_fn, mesh: Mesh, num_frames: int):
         in_shardings=(chunk_sh(5), plan_sh, cond_sh, chunk_sh(2)),
         out_shardings=chunk_sh(5),
     )
+
+
+def make_tensor_parallel_sampler(
+    apply_fn,
+    params_template,
+    mesh: Mesh,
+    num_frames: int,
+    model_axis: str = "model",
+    min_size: int = 2,
+):
+    """Full sampling loop with Megatron-style TENSOR-PARALLEL parameters.
+
+    `apply_fn(params, x, concat, t_vec, crossattn, dense, num_frames)` is the
+    params-first network; every weight leaf is sharded over `model_axis`
+    (largest divisible dimension — output channels for dense/conv kernels,
+    parallel/param_sharding.py) and GSPMD partitions each matmul/conv over
+    the axis, inserting the all-reduces. Composes with the 'view' frame axis
+    when the mesh has one that divides num_frames: frames shard over 'view',
+    weights over 'model', the 2-D equivalent of Megatron TP x sequence
+    parallelism. Params that do not fit the axis stay replicated.
+    """
+    from functools import partial as _partial
+
+    from stable_virtual_camera_tpu.parallel.param_sharding import (
+        tree_shardings,
+    )
+
+    param_sh = tree_shardings(params_template, mesh, model_axis, min_size)
+    scalar = NamedSharding(mesh, P())
+    n_view = mesh.shape.get("view", 1)
+    if n_view > 1 and num_frames % n_view == 0:
+        x_sh = NamedSharding(mesh, P("view", None, None, None))
+        cond_sh = _cond_shardings(mesh)
+    else:
+        x_sh = scalar
+        cond_sh = ChunkConditioning(*((scalar,) * 5))
+    plan_sh = {
+        k: scalar
+        for k in (
+            "sigma_hat_raw", "sigma_hat_quant", "t_indices", "sigma_next",
+            "noise_coeff", "init_scale",
+        )
+    }
+
+    def run(params, noise, plan_arrays, cond, key):
+        return euler_edm_sample(
+            _partial(apply_fn, params), noise, plan_arrays, cond, key,
+            num_frames=num_frames,
+        )
+
+    return jax.jit(
+        run,
+        in_shardings=(param_sh, x_sh, plan_sh, cond_sh, scalar),
+        out_shardings=x_sh,
+    )

@@ -338,7 +338,16 @@ class UNetDenoiser:
             mesh, P("view", *([None] * (rank - 1)))
         )
         scalar = NamedSharding(mesh, P())
-        params_sh = jax.tree_util.tree_map(lambda _: scalar, self.params)
+        if mesh.shape.get("model", 1) > 1:
+            # 3-D mesh: weights tensor-parallel over 'model' (Megatron via
+            # GSPMD; parallel/param_sharding.py), frames still over 'view'
+            from stable_virtual_camera_tpu.parallel.param_sharding import (
+                tree_shardings,
+            )
+
+            params_sh = tree_shardings(self.params, mesh, "model")
+        else:
+            params_sh = jax.tree_util.tree_map(lambda _: scalar, self.params)
         cond_sh = ChunkConditioning(
             crossattn=vs(3), concat=vs(4), dense=vs(4), replace=vs(4), scale=vs(1)
         )

@@ -268,6 +268,11 @@ def make_fsdp_train_step(
     Returns `(step, init)`: `init(params)` device_puts the params into their
     sharded layout and builds the matching sharded optimizer state;
     `step` has the make_train_step signature (plus EMA with `ema_decay`).
+
+    `init` takes OWNERSHIP of its input: leaves whose layout is unchanged
+    (replicated small leaves) may alias the input buffers, and the step
+    donates its state — keep using the returned tree only, or pass a copy
+    (`jax.tree.map(jnp.copy, params)`) if the original must stay alive.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

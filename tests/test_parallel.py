@@ -64,11 +64,11 @@ def setup():
         scale=jnp.full((T,), 2.0, jnp.float32),
     )
     plan = make_sampling_plan(DDPMDiscretization(), 3, s_noise=0.0)
-    return spec, network_fn, noise, cond, plan
+    return spec, network_fn, noise, cond, plan, unet, params
 
 
 def test_sharded_sampler_matches_unsharded(setup):
-    spec, network_fn, noise, cond, plan = setup
+    spec, network_fn, noise, cond, plan, _, _ = setup
     T = spec.num_frames
     mesh = make_mesh(n_data=1, n_view=8)
     key = jax.random.PRNGKey(0)
@@ -84,7 +84,7 @@ def test_sharded_sampler_matches_unsharded(setup):
 
 
 def test_sharded_step_runs_2d_mesh(setup):
-    spec, network_fn, noise, cond, plan = setup
+    spec, network_fn, noise, cond, plan, _, _ = setup
     T = spec.num_frames
     mesh = make_mesh(n_data=2, n_view=4)
     pa = plan_to_device(plan)
@@ -132,7 +132,7 @@ def test_data_parallel_sampler_matches_sequential(setup):
     )
     from stable_virtual_camera_tpu.sampling.sampler import plan_to_device
 
-    spec, network_fn, noise, cond, plan = setup
+    spec, network_fn, noise, cond, plan, _, _ = setup
     T = spec.num_frames
     N = 4
     keys = jax.random.split(jax.random.PRNGKey(7), N)
@@ -163,7 +163,7 @@ def test_sharded_joint_attention_is_ring(setup):
     (VERDICT.md next-round item 4; capability point docs/CLI_USAGE.md:80-81)."""
     from stable_virtual_camera_tpu.models.unet import SevaUNet, assemble_network_input
 
-    spec, _, noise, cond, plan = setup
+    spec, _, noise, cond, plan, _, _ = setup
     T = spec.num_frames
     mesh = make_mesh(n_data=1, n_view=8)
 
@@ -390,7 +390,7 @@ def test_sharded_denoiser_progress_uses_coarse_scan(setup):
     per-device): one tick per chunk, result == the no-progress sharded path."""
     from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
 
-    spec, network_fn, noise, cond, plan = setup
+    spec, network_fn, noise, cond, plan, _, _ = setup
     T = spec.num_frames
 
     class DummyModule:
@@ -414,3 +414,68 @@ def test_sharded_denoiser_progress_uses_coarse_scan(setup):
         )
     assert ticks == [(plan.num_steps, plan.num_steps)]
     np.testing.assert_allclose(np.asarray(tracked), np.asarray(fast), rtol=0, atol=0)
+
+
+def test_tensor_parallel_sampler_matches_unsharded(setup):
+    """Megatron-style TP: params sharded over the 'model' axis of a 3-D
+    (data, view, model) mesh, frames over 'view' — numerics match the
+    unsharded sampler and the weight leaves really are distributed."""
+    from stable_virtual_camera_tpu.parallel.mesh import make_mesh_tp
+    from stable_virtual_camera_tpu.parallel.sharding import (
+        make_tensor_parallel_sampler,
+    )
+
+    spec, network_fn, noise, cond, plan, unet, params = setup
+    T = spec.num_frames
+
+    def apply_fn(p, x, concat, t_vec, crossattn, dense, num_frames):
+        return unet.apply(
+            {"params": p}, assemble_network_input(x, concat),
+            t_vec, crossattn, dense, num_frames=num_frames,
+        )
+
+    key = jax.random.PRNGKey(3)
+    ref = euler_edm_sample(
+        network_fn, noise, plan_to_device(plan), cond, key, num_frames=T
+    )
+
+    mesh = make_mesh_tp(n_data=1, n_view=2, n_model=4)
+    with mesh:
+        tp = make_tensor_parallel_sampler(apply_fn, params, mesh, T)
+        out = tp(params, noise, plan_to_device(plan), cond, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+    # The big kernels must actually shard over 'model' (not stay replicated).
+    from stable_virtual_camera_tpu.parallel.param_sharding import (
+        tree_partition_specs,
+    )
+
+    from jax.sharding import PartitionSpec as P
+
+    specs = jax.tree.leaves(
+        tree_partition_specs(params, mesh, "model"),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    sharded = [s for s in specs if any(e is not None for e in s)]
+    assert len(sharded) > len(specs) // 2, (
+        f"only {len(sharded)}/{len(specs)} leaves sharded over 'model'"
+    )
+
+
+def test_denoiser_tp_mesh_matches_unsharded(setup):
+    """UNetDenoiser on a 3-D (data,view,model) mesh: the engine-facing
+    sampler path runs tensor-parallel weights and matches the single-device
+    result (CLI --mesh_model)."""
+    from stable_virtual_camera_tpu.parallel.mesh import make_mesh_tp
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    spec, _, noise, cond, plan, unet, params = setup
+    T = spec.num_frames
+
+    plain = UNetDenoiser(unet, params)
+    ref = plain.sample(noise, plan, cond, jax.random.PRNGKey(2))
+
+    mesh = make_mesh_tp(n_data=1, n_view=2, n_model=4)
+    tp = UNetDenoiser(unet, params, mesh=mesh)
+    out = tp.sample(noise, plan, cond, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
