@@ -209,12 +209,13 @@ def _plan_gt(T, test_c2ws, N, options, chunk_strategy, gt_input_inds):
     after the first chunk, optionally add pseudo-GT from already-generated
     targets (reference seva/eval.py:518-631)."""
     assert len(gt_input_inds) < T, (
-        f"Number of gt input frames {len(gt_input_inds)} should be "
-        f"less than {T} when `gt` chunking strategy is used."
+        f"`gt` chunking needs the {len(gt_input_inds)} ground-truth inputs "
+        f"to fit a {T}-frame chunk with room for at least one target"
     )
     M = len(gt_input_inds)
     assert list(range(M)) == gt_input_inds, (
-        "All input_c2ws should be gt when `gt` chunking strategy is used."
+        "`gt` chunking requires the ground-truth inputs to be the first "
+        "input_c2ws entries (indices 0..M-1)"
     )
 
     chunks = []
@@ -324,7 +325,8 @@ def _plan_nearest(T, input_c2ws, test_c2ws, M, N, chunk_strategy, gt_input_inds)
     if match:
         nearest_num = int(match.group(1))
         assert nearest_num < T, (
-            f"Nearest number of {nearest_num} should be less than {T}."
+            f"nearest-{nearest_num} conditioning cannot fill a {T}-frame "
+            f"chunk (need nearest_num < T)"
         )
         source_inds = find_nearest_source_inds(
             input_c2ws, test_c2ws, nearest_num=nearest_num, mode="translation"
@@ -406,8 +408,8 @@ def _plan_interp(
     """`interp[-gt]`: targets bracketed between consecutive ordered anchors
     (reference seva/eval.py:726-805)."""
     assert input_ords is not None and test_ords is not None, (
-        "When using `interp` chunking strategy, ordering of input "
-        "and test frames should be provided."
+        "`interp` chunking requires input_ords and test_ords (the relative "
+        "ordering of input and target frames along the trajectory)"
     )
 
     # For img2trajvid* the GT input views have unknown order w.r.t. targets;

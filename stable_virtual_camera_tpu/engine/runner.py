@@ -365,7 +365,7 @@ class SceneEngine:
                 else:
                     stride = F * 2**3
                     assert options.get("L_short") % stride == 0, (
-                        f"Short side of the image should be divisible by {stride}."
+                        f"--L_short must be a multiple of the latent stride {stride}"
                     )
                     img_arr, K = transform_img_and_K(
                         img_arr,
