@@ -177,6 +177,10 @@ def main() -> None:
                     "t_decode_s": round(t_decode, 3),
                     "t_cond_s": round(t_cond, 3),
                     "device": str(jax.devices()[0]),
+                    # headline stays bf16; SVC_QUANT=w8a8 runs are labelled
+                    # so a quantized number is never mistaken for the
+                    # baseline-comparable one
+                    "quant": os.environ.get("SVC_QUANT", "0"),
                 },
             }
         )

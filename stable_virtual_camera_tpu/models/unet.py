@@ -33,8 +33,10 @@ import jax
 import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
+from stable_virtual_camera_tpu.models.common import DenseParams
 from stable_virtual_camera_tpu.ops.attention import sdpa_packed
 from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
+from stable_virtual_camera_tpu.ops.quant import quantized_dense, w8a8_enabled
 from stable_virtual_camera_tpu.ops.resize import (
     resize_bilinear_align_corners,
     upsample_2x_conv3x3,
@@ -132,13 +134,33 @@ class Attention(nn.Module):
     def __call__(self, x, context=None, time_frames: int | None = None):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
-        dense = lambda n, name, bias: nn.Dense(  # noqa: E731
-            n,
-            use_bias=bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name=name,
-        )
+
+        def dense(n, name, bias):
+            # Serving W8A8 (ops/quant.py): same checkpoint naming via
+            # DenseParams, int8 MXU matmul instead of nn.Dense's bf16 one.
+            if w8a8_enabled():
+                def apply(t, n=n, name=name, bias=bias):
+                    p = DenseParams(
+                        (t.shape[-1], n),
+                        use_bias=bias,
+                        param_dtype=self.param_dtype,
+                        name=name,
+                    )()
+                    return quantized_dense(
+                        t.astype(self.dtype),
+                        p[0].astype(self.dtype),
+                        p[1] if bias else None,
+                        out_dtype=self.dtype,
+                    )
+
+                return apply
+            return nn.Dense(
+                n,
+                use_bias=bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=name,
+            )
         if time_frames is not None:
             # Temporal self-attention WITHOUT the (b*T,S,C)->(b*S,T,C)
             # transpose (reference transformer.py:149,154). Two backends:
@@ -167,7 +189,6 @@ class Attention(nn.Module):
                     )
                 )
             ):
-                from stable_virtual_camera_tpu.models.common import DenseParams
                 from stable_virtual_camera_tpu.ops.time_attention import (
                     pick_s_block,
                     time_attention_bhds,
@@ -252,7 +273,6 @@ class Attention(nn.Module):
                 # and to_out consumes (B, H, L, D) the same way — zero
                 # transpose ops around the kernel. Same params/naming as the
                 # Dense path (kernel (C, 3*inner), out (inner, C) + bias).
-                from stable_virtual_camera_tpu.models.common import DenseParams
                 from stable_virtual_camera_tpu.ops.flash_upstream import (
                     flash_attention_upstream_bhld,
                 )
@@ -267,9 +287,24 @@ class Attention(nn.Module):
                     x.shape[-1], 3, self.heads, self.dim_head
                 )
                 xq = x.astype(self.dtype)
-                q = jnp.einsum("blc,chd->bhld", xq, w3[:, 0])
-                k = jnp.einsum("blc,chd->bhld", xq, w3[:, 1])
-                v = jnp.einsum("blc,chd->bhld", xq, w3[:, 2])
+                if w8a8_enabled():
+                    # int8 projection, then one explicit (B,L,3,H,D) ->
+                    # (3,B,H,L,D) layout copy into the kernel's layout (the
+                    # bf16 path gets it free from the GEMM epilogue; int8
+                    # MXU output is (rows, cols) so the copy is real, ~0.5 ms
+                    # at ds1 against the 2x matmul-rate win).
+                    B_, L_, C_ = xq.shape
+                    qkv = quantized_dense(
+                        xq, w_qkv.astype(self.dtype), out_dtype=self.dtype
+                    )
+                    qkv = qkv.reshape(
+                        B_, L_, 3, self.heads, self.dim_head
+                    ).transpose(2, 0, 3, 1, 4)
+                    q, k, v = qkv[0], qkv[1], qkv[2]
+                else:
+                    q = jnp.einsum("blc,chd->bhld", xq, w3[:, 0])
+                    k = jnp.einsum("blc,chd->bhld", xq, w3[:, 1])
+                    v = jnp.einsum("blc,chd->bhld", xq, w3[:, 2])
                 # per-shape kernel dispatch: the software-pipelined v2
                 # kernel where it measured faster (ops/flash_v2.V2_WINS),
                 # the tuned upstream kernel otherwise. SVC_FLASH_V2=0/1
@@ -290,6 +325,16 @@ class Attention(nn.Module):
                     param_dtype=self.param_dtype,
                     name="to_out",
                 )()
+                if w8a8_enabled():
+                    o2 = o.transpose(0, 2, 1, 3).reshape(
+                        o.shape[0], o.shape[2], inner
+                    )
+                    return quantized_dense(
+                        o2,
+                        w_out.astype(self.dtype),
+                        b_out,
+                        out_dtype=self.dtype,
+                    )
                 return (
                     jnp.einsum(
                         "bhld,hdc->blc",
@@ -334,9 +379,30 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         inner = int(x.shape[-1] * self.mult)
         dim_out = self.dim_out or x.shape[-1]
-        h = nn.Dense(
-            inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_gate"
-        )(x)
+
+        def dense(n, name):
+            # Serving W8A8 (ops/quant.py) under nn.Dense's checkpoint naming;
+            # the GEGLU feed-forwards are the model's largest matmul family
+            # (~23 TFLOP/fwd, docs/ARCHITECTURE.md HLO census) and the main
+            # beneficiary of the int8 MXU rate.
+            if w8a8_enabled():
+                def apply(t, n=n, name=name):
+                    w, b = DenseParams(
+                        (t.shape[-1], n), param_dtype=self.param_dtype, name=name
+                    )()
+                    return quantized_dense(
+                        t.astype(self.dtype),
+                        w.astype(self.dtype),
+                        b,
+                        out_dtype=self.dtype,
+                    )
+
+                return apply
+            return nn.Dense(
+                n, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
+
+        h = dense(inner * 2, "proj_gate")(x)
         val, gate = jnp.split(h, 2, axis=-1)
         # GELU precision policy (round-3 journal): the erf GELU costs a
         # measured 4.4 s of the 50-step denoise on a v5e chip (45.5 -> 41.1 s
@@ -357,9 +423,7 @@ class FeedForward(nn.Module):
         else:
             g = nn.gelu(gate, approximate=(mode == "tanh"))
         h = val * g
-        return nn.Dense(
-            dim_out, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
-        )(h)
+        return dense(dim_out, "proj_out")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -483,11 +547,28 @@ class MultiviewTransformer(nn.Module):
         time_context = context[::num_frames]
         ctx = context[::num_frames] if self.unflatten else context
 
+        def dense(n, name):
+            # Serving W8A8 (ops/quant.py), nn.Dense checkpoint naming.
+            if w8a8_enabled():
+                def apply(t, n=n, name=name):
+                    w, b = DenseParams(
+                        (t.shape[-1], n), param_dtype=self.param_dtype, name=name
+                    )()
+                    return quantized_dense(
+                        t.astype(self.dtype),
+                        w.astype(self.dtype),
+                        b,
+                        out_dtype=self.dtype,
+                    )
+
+                return apply
+            return nn.Dense(
+                n, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            )
+
         y = GroupNorm32(param_dtype=self.param_dtype, eps=1e-6, name="norm")(x)
         y = y.reshape(B, h * w, C)
-        y = nn.Dense(
-            inner, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in"
-        )(y)
+        y = dense(inner, "proj_in")(y)
 
         for d in range(self.depth):
             if self.unflatten:
@@ -515,9 +596,7 @@ class MultiviewTransformer(nn.Module):
             )(y, time_context, num_frames)
             y = y + y_mix
 
-        y = nn.Dense(
-            C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
-        )(y)
+        y = dense(C, "proj_out")(y)
         return x_in + y.reshape(B, h, w, C)
 
 

@@ -1,0 +1,107 @@
+"""Dynamic W8A8 int8 quantization for the serving matmul path.
+
+Why: the v5e MXU executes int8 contractions at 2x the bf16 rate (394 TOPS vs
+197 TFLOP/s), and the denoiser's matmul bucket is already compute-bound at
+the calibrated bf16 peak (docs/ARCHITECTURE.md, static HLO census) — bf16
+kernel work alone cannot push past ~0.95 f/s on this chip. Quantizing the
+transformer matmuls is the one structural lever left, so it ships as an
+opt-in serving mode (`SVC_QUANT=w8a8`, `--quant w8a8` in the CLI), default
+OFF and bit-identical to the bf16 path when off.
+
+Scheme (standard dynamic W8A8, cf. SmoothQuant/LLM.int8 baselines):
+  * weights: symmetric per-OUTPUT-CHANNEL int8, quantized from the bf16
+    serving values INSIDE the jitted program (no second param tree, no
+    checkpoint/сonversion changes; re-quantizing all matmul weights costs
+    ~3 ms/forward of HBM traffic — ~0.3% — measured against the 940 ms
+    round-3 forward),
+  * activations: symmetric per-TOKEN (row-wise) int8, scales from a runtime
+    abs-max — no calibration data needed (none exists here: released weights
+    cannot be downloaded in this environment),
+  * accumulation in int32 on the MXU, rescale + bias in fp32, cast back to
+    the compute dtype.
+
+What is NOT quantized: attention itself (the Pallas flash kernels stay
+bf16/fp32-softmax), GroupNorm/LayerNorm/GELU islands, the time-embedding
+MLPs (negligible FLOPs), the VAE, and everything under training — round/clip
+have zero gradient, so this is a serving-only path (the train step never
+reads SVC_QUANT).
+
+The reference has no quantized path at all (torch fp16/autocast only); this
+is a beyond-parity TPU capability. Accuracy evidence available in this
+environment: end-to-end bf16-vs-w8a8 latent deviation on synthetic weights
+(tests/test_quant.py); real-weight PSNR/LPIPS goes through benchmark/
+run_eval.py the day checkpoints can land.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Quantize to [-127, 127] (symmetric, zero-point 0). Scales are clamped so
+# an all-zero row/channel quantizes to zeros instead of NaN.
+_QMAX = 127.0
+_MIN_SCALE = 1e-8
+
+
+def quant_mode() -> str:
+    """Serving quantization mode: "0" (off, default) | "w8a8".
+
+    Read at TRACE time like the repo's other dispatch flags (SVC_GELU_MODE,
+    SVC_FLASH_V2): set it before the first jitted call of the process; a
+    cached executable keeps the mode it was traced with.
+    """
+    return os.environ.get("SVC_QUANT", "0")
+
+
+def w8a8_enabled() -> bool:
+    return quant_mode() == "w8a8"
+
+
+def quantize_rowwise(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) symmetric int8: (..., C) -> int8 values, fp32
+    scales shaped (..., 1). Rows are tokens — per-token scales keep one
+    outlier token from washing out the whole tensor's resolution."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _MIN_SCALE)
+    s = s / _QMAX
+    q = jnp.clip(jnp.round(xf / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
+
+
+def quantize_colwise(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8 for a (C_in, C_out) kernel:
+    int8 values, fp32 scales shaped (1, C_out)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), _MIN_SCALE)
+    s = s / _QMAX
+    q = jnp.clip(jnp.round(wf / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
+
+
+def quantized_dense(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """y = x @ kernel (+ bias) with int8 inputs and int32 MXU accumulation.
+
+    x: (..., C_in); kernel: (C_in, C_out). Matches nn.Dense's contract
+    (bias added in fp32, output cast to `out_dtype` or x.dtype) up to int8
+    rounding of both operands.
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    c_in = x.shape[-1]
+    xq, sx = quantize_rowwise(x.reshape(-1, c_in))
+    wq, sw = quantize_colwise(kernel)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * sx * sw
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype).reshape(*lead, kernel.shape[-1])
