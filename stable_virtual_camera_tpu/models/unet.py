@@ -621,6 +621,32 @@ class ResBlock(nn.Module):
             name=name,
         )
 
+        def qconv(n, k, name):
+            # Serving W8A8 for the compute convs (ops/quant.py): int8 MXU
+            # conv under nn.Conv's checkpoint naming. dense_proj stays exact
+            # below — its contraction depth is 6 (the Plücker channels), so
+            # it is bandwidth-bound and int8 would add error for no win.
+            if w8a8_enabled():
+                def apply(t, n=n, k=k, name=name):
+                    from stable_virtual_camera_tpu.models.common import ConvParams
+                    from stable_virtual_camera_tpu.ops.quant import quantized_conv
+
+                    w, b = ConvParams(
+                        (k, k, t.shape[-1], n),
+                        param_dtype=self.param_dtype,
+                        name=name,
+                    )()
+                    return quantized_conv(
+                        t.astype(self.dtype),
+                        w.astype(self.dtype),
+                        b,
+                        padding=[(k // 2, k // 2)] * 2,
+                        out_dtype=self.dtype,
+                    )
+
+                return apply
+            return conv(n, k, name)
+
         h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="in_gn")(x))
         # Dense spatial FiLM: Plücker map resized (align-corners bilinear) to
         # this resolution, 1x1-projected to scale/shift
@@ -629,7 +655,7 @@ class ResBlock(nn.Module):
         dense = conv(2 * C, 1, "dense_proj")(dense).astype(h.dtype)
         dense_scale, dense_shift = jnp.split(dense, 2, axis=-1)
         h = h * (1 + dense_scale) + dense_shift
-        h = conv(out_ch, 3, "in_conv")(h)
+        h = qconv(out_ch, 3, "in_conv")(h)
 
         e = nn.Dense(
             out_ch, dtype=self.dtype, param_dtype=self.param_dtype, name="emb_proj"
@@ -637,9 +663,9 @@ class ResBlock(nn.Module):
         h = h + e[:, None, None, :]
 
         h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="out_gn")(h))
-        h = conv(out_ch, 3, "out_conv")(h)
+        h = qconv(out_ch, 3, "out_conv")(h)
 
-        skip = x if out_ch == C else conv(out_ch, 1, "skip")(x)
+        skip = x if out_ch == C else qconv(out_ch, 1, "skip")(x)
         return skip + h
 
 
@@ -652,6 +678,23 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if w8a8_enabled():
+            from stable_virtual_camera_tpu.models.common import ConvParams
+            from stable_virtual_camera_tpu.ops.quant import quantized_conv
+
+            w, b = ConvParams(
+                (3, 3, x.shape[-1], self.channels),
+                param_dtype=self.param_dtype,
+                name="conv",
+            )()
+            return quantized_conv(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                b,
+                strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
+                out_dtype=self.dtype,
+            )
         return nn.Conv(
             self.channels,
             (3, 3),
@@ -683,7 +726,12 @@ class Upsample(nn.Module):
             name="conv",
         )()
         return upsample_2x_conv3x3(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias,
+            # UNet upsamples join the W8A8 conv family; the VAE's calls keep
+            # the default exact path (models/vae.py)
+            quant=w8a8_enabled(),
         )
 
 

@@ -20,11 +20,15 @@ Scheme (standard dynamic W8A8, cf. SmoothQuant/LLM.int8 baselines):
   * accumulation in int32 on the MXU, rescale + bias in fp32, cast back to
     the compute dtype.
 
-What is NOT quantized: attention itself (the Pallas flash kernels stay
-bf16/fp32-softmax), GroupNorm/LayerNorm/GELU islands, the time-embedding
-MLPs (negligible FLOPs), the VAE, and everything under training — round/clip
-have zero gradient, so this is a serving-only path (the train step never
-reads SVC_QUANT).
+Quantized: the transformer matmul family (GEGLU feed-forwards, attention
+projections, MultiviewTransformer proj_in/out) and the UNet's compute convs
+(ResBlock in/out/skip, Down/Upsample). NOT quantized: attention itself (the
+Pallas flash kernels stay bf16/fp32-softmax), GroupNorm/LayerNorm/GELU
+islands, the time-embedding MLPs and FiLM dense_proj (negligible FLOPs /
+depth-6 contraction), the stem and final output convs (tiny and
+quality-critical), the VAE, and everything under training — round/clip have
+zero gradient, so this is a serving-only path (the train step never reads
+SVC_QUANT).
 
 The reference has no quantized path at all (torch fp16/autocast only); this
 is a beyond-parity TPU capability. Accuracy evidence available in this
@@ -79,6 +83,62 @@ def quantize_colwise(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     s = s / _QMAX
     q = jnp.clip(jnp.round(wf / s), -_QMAX, _QMAX).astype(jnp.int8)
     return q, s
+
+
+def quantize_persample(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-SAMPLE symmetric int8 for an NHWC activation: int8 values, fp32
+    scales shaped (B, 1, 1, 1). Each conv output pixel only sums taps from
+    its own sample, so per-sample scales stay exact w.r.t. the conv."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), _MIN_SCALE
+    )
+    s = s / _QMAX
+    q = jnp.clip(jnp.round(xf / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
+
+
+def quantize_conv_kernel(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8 for an HWIO conv kernel:
+    int8 values, fp32 scales shaped (1, 1, 1, C_out)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True), _MIN_SCALE
+    )
+    s = s / _QMAX
+    q = jnp.clip(jnp.round(wf / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
+
+
+def quantized_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: tuple[int, int] = (1, 1),
+    padding=((1, 1), (1, 1)),
+    out_dtype=None,
+) -> jnp.ndarray:
+    """NHWC x HWIO convolution with int8 inputs and int32 MXU accumulation.
+
+    Matches nn.Conv's contract (bias in fp32, output cast to `out_dtype` or
+    x.dtype) up to int8 rounding. Activation scales are per-sample (exact
+    under the conv's spatial summation), weight scales per-output-channel.
+    """
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize_persample(x)
+    wq, sw = quantize_conv_kernel(kernel)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * sw
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def quantized_dense(

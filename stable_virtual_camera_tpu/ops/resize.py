@@ -62,7 +62,7 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample_2x_conv3x3(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, quant: bool = False
 ) -> jnp.ndarray:
     """nearest-2x upsample followed by a 3x3 SAME conv, computed as a LOW-RES
     3x3 conv with 4x-wide output channels + depth-to-space (pixel shuffle).
@@ -94,13 +94,28 @@ def upsample_2x_conv3x3(
                     w2 = w2.at[taps[di][ki] + 1, taps[dj][kj] + 1, :, o].add(
                         kernel[ki, kj]
                     )
-    y = jax.lax.conv_general_dilated(
-        x,
-        w2.reshape(3, 3, c, 4 * c_out),
-        window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if quant:
+        # W8A8 serving path (ops/quant.py): quantize the REARRANGED kernel —
+        # its 4*c_out columns map 1:1 to output channels, so per-output-
+        # channel scales stay exact through the pixel shuffle.
+        from stable_virtual_camera_tpu.ops.quant import quantized_conv
+
+        y = quantized_conv(
+            x,
+            w2.reshape(3, 3, c, 4 * c_out),
+            bias=None,
+            strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            out_dtype=x.dtype,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            w2.reshape(3, 3, c, 4 * c_out),
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     y = y + jnp.tile(bias.astype(y.dtype), 4)
     y = y.reshape(b, h, w, 2, 2, c_out)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c_out)

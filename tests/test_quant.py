@@ -17,6 +17,7 @@ from stable_virtual_camera_tpu.models.unet import SevaUNet
 from stable_virtual_camera_tpu.ops.quant import (
     quantize_colwise,
     quantize_rowwise,
+    quantized_conv,
     quantized_dense,
 )
 
@@ -63,6 +64,46 @@ def test_quantized_dense_matches_exact_within_int8_noise():
     # a broken scale (which gives rel ~ 1)
     assert rel < 0.05, rel
     assert got.shape == ref.shape and got.dtype == np.float32
+
+
+def test_quantized_conv_matches_exact_within_int8_noise():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 12, 12, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 24)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32) * 0.1)
+    got = np.asarray(
+        quantized_conv(x, w, b, padding=[(1, 1), (1, 1)]), np.float32
+    )
+    ref = np.asarray(
+        jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b,
+        np.float32,
+    )
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    # strided (Downsample shape)
+    got2 = np.asarray(
+        quantized_conv(x, w, b, strides=(2, 2), padding=[(1, 1), (1, 1)]),
+        np.float32,
+    )
+    assert got2.shape == (3, 6, 6, 24)
+
+
+def test_quantized_upsample_pixel_shuffle():
+    from stable_virtual_camera_tpu.ops.resize import upsample_2x_conv3x3
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+    exact = np.asarray(upsample_2x_conv3x3(x, w, b), np.float32)
+    q = np.asarray(upsample_2x_conv3x3(x, w, b, quant=True), np.float32)
+    assert q.shape == exact.shape == (2, 16, 16, 16)
+    rel = np.linalg.norm(q - exact) / np.linalg.norm(exact)
+    assert 0 < rel < 0.05, rel
 
 
 def _tiny_spec():
