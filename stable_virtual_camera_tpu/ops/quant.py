@@ -30,6 +30,13 @@ quality-critical), the VAE, and everything under training — round/clip have
 zero gradient, so this is a serving-only path (the train step never reads
 SVC_QUANT).
 
+Reproducibility caveat: round() makes the quantized network DISCONTINUOUS,
+so two runs that differ by fp32 reduction order (e.g. different mesh
+partitionings of the gathered joint-attention layers) flip occasional
+rounding decisions and the flips cascade — each run is a valid quantization
+within quant noise of the exact result, but they need not match each other
+elementwise (tests/test_parallel.py::test_sharded_sampler_w8a8_...).
+
 The reference has no quantized path at all (torch fp16/autocast only); this
 is a beyond-parity TPU capability. Accuracy evidence available in this
 environment: end-to-end bf16-vs-w8a8 latent deviation on synthetic weights

@@ -83,6 +83,37 @@ def test_sharded_sampler_matches_unsharded(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+def test_sharded_sampler_w8a8_within_quant_noise_of_exact(setup, monkeypatch):
+    """W8A8 composes with view sharding. NOTE the invariant: int8 rounding is
+    DISCONTINUOUS, so the fp32 reduction-order differences GSPMD introduces in
+    the gathered joint-attention layers flip occasional round() decisions and
+    the flips cascade — sharded-quantized and unsharded-quantized outputs are
+    two valid quantizations that need not match elementwise (verified by
+    bisection: every module before the first unflatten layer IS exactly
+    equal). The meaningful check is that the sharded quantized sampler stays
+    within quantization noise of the EXACT (unquantized) result, same bound
+    as the unsharded quant test (tests/test_quant.py)."""
+    spec, network_fn, noise, cond, plan, _, _ = setup
+    T = spec.num_frames
+    key = jax.random.PRNGKey(0)
+
+    exact = np.asarray(
+        euler_edm_sample(
+            network_fn, noise, plan_to_device(plan), cond, key, num_frames=T
+        )
+    )
+    monkeypatch.setenv("SVC_QUANT", "w8a8")
+    mesh = make_mesh(n_data=1, n_view=8)
+    with mesh:
+        sharded = make_sharded_sampler(network_fn, mesh, T)
+        out = np.asarray(sharded(noise, plan_to_device(plan), cond, key))
+    assert np.isfinite(out).all()
+    rel = np.linalg.norm(out - exact) / np.linalg.norm(exact)
+    assert 0 < rel < 0.10, rel
+    corr = np.corrcoef(out.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
 def test_sharded_step_runs_2d_mesh(setup):
     spec, network_fn, noise, cond, plan, _, _ = setup
     T = spec.num_frames
