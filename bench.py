@@ -361,6 +361,10 @@ if __name__ == "__main__":
                       f"(128x128 matmul subprocess) failed for {int(wait_s)}s",
         }))
         sys.exit(1)
+    if "--quant" in sys.argv:
+        # convenience for A/B runs: `python bench.py --quant w8a8` ==
+        # SVC_QUANT=w8a8 (must be set before the first trace; here is).
+        os.environ["SVC_QUANT"] = sys.argv[sys.argv.index("--quant") + 1]
     try:
         if "--scenario" in sys.argv and "e2e" in sys.argv:
             idx = sys.argv.index("--frames") if "--frames" in sys.argv else -1

@@ -66,7 +66,10 @@ def run_eval(
     `sweep` enables the reference's single-view camera-scale sweep
     (docs/CLI_USAGE.md:79: 0.1..2.0, best PSNR per scene kept); off by
     default since it multiplies generation cost 20x.
-    `overrides` are forwarded to the CLI (e.g. num_steps=2 for dry runs).
+    `overrides` are forwarded to the CLI (e.g. num_steps=2 for dry runs, or
+    `--quant w8a8` to score the int8 serving path against the same splits —
+    the bf16-vs-w8a8 PSNR/LPIPS delta is the quantization quality evidence
+    once real weights land).
     """
     from benchmark.entries import ENTRIES, cli_flags, eval_kwargs
     from benchmark.metrics import evaluate_split
