@@ -71,50 +71,39 @@ def w8a8_enabled() -> bool:
     return quant_mode() == "w8a8"
 
 
-def quantize_rowwise(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row (last-axis) symmetric int8: (..., C) -> int8 values, fp32
-    scales shaped (..., 1). Rows are tokens — per-token scales keep one
-    outlier token from washing out the whole tensor's resolution."""
+def _quantize(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 with abs-max scales reduced over `axes` (kept)."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _MIN_SCALE)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=axes, keepdims=True), _MIN_SCALE)
     s = s / _QMAX
     q = jnp.clip(jnp.round(xf / s), -_QMAX, _QMAX).astype(jnp.int8)
     return q, s
 
 
+def quantize_rowwise(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) symmetric int8: (..., C) -> int8 values, fp32
+    scales shaped (..., 1). Rows are tokens — per-token scales keep one
+    outlier token from washing out the whole tensor's resolution."""
+    return _quantize(x, -1)
+
+
 def quantize_colwise(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric int8 for a (C_in, C_out) kernel:
     int8 values, fp32 scales shaped (1, C_out)."""
-    wf = w.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), _MIN_SCALE)
-    s = s / _QMAX
-    q = jnp.clip(jnp.round(wf / s), -_QMAX, _QMAX).astype(jnp.int8)
-    return q, s
+    return _quantize(w, 0)
 
 
 def quantize_persample(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-SAMPLE symmetric int8 for an NHWC activation: int8 values, fp32
     scales shaped (B, 1, 1, 1). Each conv output pixel only sums taps from
     its own sample, so per-sample scales stay exact w.r.t. the conv."""
-    xf = x.astype(jnp.float32)
-    s = jnp.maximum(
-        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), _MIN_SCALE
-    )
-    s = s / _QMAX
-    q = jnp.clip(jnp.round(xf / s), -_QMAX, _QMAX).astype(jnp.int8)
-    return q, s
+    return _quantize(x, (1, 2, 3))
 
 
 def quantize_conv_kernel(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric int8 for an HWIO conv kernel:
     int8 values, fp32 scales shaped (1, 1, 1, C_out)."""
-    wf = w.astype(jnp.float32)
-    s = jnp.maximum(
-        jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True), _MIN_SCALE
-    )
-    s = s / _QMAX
-    q = jnp.clip(jnp.round(wf / s), -_QMAX, _QMAX).astype(jnp.int8)
-    return q, s
+    return _quantize(w, (0, 1, 2))
 
 
 def quantized_conv(

@@ -126,6 +126,46 @@ def _tiny_inputs(T=3, H=16, W=16, ctx=64):
     )
 
 
+def test_w8a8_flash_projection_branch(monkeypatch):
+    """The layout-fused flash path has its own quant branch (int8 qkv
+    projection + explicit (B,L,3,H,D)->(3,B,H,L,D) transpose, int8 to_out
+    from the kernel's (B,H,L,D) output). The tiny-model tests never reach it
+    (needs dim_head=64, L>=1024, use_pallas), so drive it directly with the
+    Pallas kernel monkeypatched to an einsum SDPA, and compare against the
+    generic Dense path — same params, same math, int8 rounding on both sides
+    happens on identical tensors, so outputs must match to fp32 tolerance."""
+    from stable_virtual_camera_tpu.models.unet import Attention
+
+    def fake_flash(q, k, v):  # (B, H, L, D) in/out, exact SDPA
+        s = jnp.einsum("bhld,bhsd->bhls", q, k) * (q.shape[-1] ** -0.5)
+        return jnp.einsum("bhls,bhsd->bhld", jax.nn.softmax(s, -1), v)
+
+    monkeypatch.setenv("SVC_QUANT", "w8a8")
+    monkeypatch.setenv("SVC_UPSTREAM_FLASH", "1")
+    # the branch imports the kernel at call time from ops.flash_upstream
+    import stable_virtual_camera_tpu.ops.flash_upstream as fu
+
+    monkeypatch.setattr(fu, "flash_attention_upstream_bhld", fake_flash)
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 1024, 128)).astype(np.float32))
+
+    flash_attn = Attention(heads=2, dim_head=64, use_pallas=True)
+    generic_attn = Attention(heads=2, dim_head=64, use_pallas=False)
+    params = flash_attn.init(jax.random.PRNGKey(0), x)
+    # same param tree: the layout-fused path binds qkv/to_out like the
+    # generic Dense path
+    params_g = generic_attn.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_g
+    )
+
+    out_flash = np.asarray(flash_attn.apply(params, x), np.float32)
+    out_generic = np.asarray(generic_attn.apply(params, x), np.float32)
+    assert np.isfinite(out_flash).all()
+    np.testing.assert_allclose(out_flash, out_generic, atol=1e-4, rtol=1e-4)
+
+
 def test_w8a8_param_tree_matches_bf16_tree(monkeypatch):
     """SVC_QUANT must not change the checkpoint contract: the quantized
     modules bind the same param names/shapes via DenseParams, so converted
