@@ -66,7 +66,7 @@ def main() -> None:
 
     from functools import partial
 
-    def net_with_params(p, x, concat, t_vec, crossattn, dense, num_frames):
+    def net_with_params(p, x, concat, t_vec, crossattn, dense, num_frames, film=None):
         return unet.apply(
             {"params": p},
             assemble_network_input(x, concat),
@@ -74,11 +74,24 @@ def main() -> None:
             crossattn,
             dense,
             num_frames=num_frames,
+            film=film,
         )
+
+    def _net(p, cond):
+        # per-chunk FiLM precompute (sampler.film_cache_enabled semantics):
+        # the resize+dense_proj of the Plücker map is a per-step constant,
+        # computed once here instead of 50x inside the scan
+        if os.environ.get("SVC_FILM_CACHE", "1") != "0":
+            film = unet.apply(
+                {"params": p}, None, None, None, cond.dense[:T],
+                num_frames=T, film_only=True,
+            )
+            return partial(net_with_params, p, film=film)
+        return partial(net_with_params, p)
 
     sample = jax.jit(
         lambda p, noise, plan, cond, key: euler_edm_sample(
-            partial(net_with_params, p), noise, plan, cond, key, num_frames=T
+            _net(p, cond), noise, plan, cond, key, num_frames=T
         )
     )
     def sync(x):

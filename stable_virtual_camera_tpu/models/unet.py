@@ -33,16 +33,78 @@ import jax
 import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
-from stable_virtual_camera_tpu.models.common import DenseParams
+from stable_virtual_camera_tpu.models.common import ConvParams, DenseParams
 from stable_virtual_camera_tpu.ops.attention import sdpa_packed
 from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
-from stable_virtual_camera_tpu.ops.quant import quantized_dense, w8a8_enabled
+from stable_virtual_camera_tpu.ops.quant import (
+    quantized_conv,
+    quantized_dense,
+    w8a8_enabled,
+)
 from stable_virtual_camera_tpu.ops.resize import (
     resize_bilinear_align_corners,
     upsample_2x_conv3x3,
 )
 
 Dtype = Any
+
+
+class _ShapeOnly:
+    """Activation stand-in carrying only `.shape`, used by the film_only
+    topology walk (SevaUNet.__call__) to track block input shapes without
+    computing anything."""
+
+    __slots__ = ("shape",)
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+
+def quant_dense(n: int, name: str, *, dtype, param_dtype, use_bias: bool = True):
+    """nn.Dense, or its W8A8 int8 equivalent under the same checkpoint naming
+    (serving mode, ops/quant.py). Returns a callable; the quantized branch's
+    DenseParams submodule binds to the caller's compact scope."""
+    if w8a8_enabled():
+        def apply(t):
+            p = DenseParams(
+                (t.shape[-1], n), use_bias=use_bias, param_dtype=param_dtype,
+                name=name,
+            )()
+            return quantized_dense(
+                t.astype(dtype),
+                p[0].astype(dtype),
+                p[1] if use_bias else None,
+                out_dtype=dtype,
+            )
+
+        return apply
+    return nn.Dense(
+        n, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, name=name
+    )
+
+
+def quant_conv(
+    n: int, k: int, name: str, *, dtype, param_dtype,
+    strides: tuple[int, int] = (1, 1),
+):
+    """SAME-padded k×k nn.Conv, or its W8A8 int8 equivalent under the same
+    checkpoint naming (serving mode, ops/quant.py)."""
+    pad = [(k // 2, k // 2)] * 2
+    if w8a8_enabled():
+        def apply(t):
+            w, b = ConvParams(
+                (k, k, t.shape[-1], n), param_dtype=param_dtype, name=name
+            )()
+            return quantized_conv(
+                t.astype(dtype), w.astype(dtype), b,
+                strides=strides, padding=pad, out_dtype=dtype,
+            )
+
+        return apply
+    return nn.Conv(
+        n, (k, k), strides=strides, padding=pad, dtype=dtype,
+        param_dtype=param_dtype, name=name,
+    )
 
 
 def timestep_embedding(
@@ -135,32 +197,10 @@ class Attention(nn.Module):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
 
-        def dense(n, name, bias):
-            # Serving W8A8 (ops/quant.py): same checkpoint naming via
-            # DenseParams, int8 MXU matmul instead of nn.Dense's bf16 one.
-            if w8a8_enabled():
-                def apply(t, n=n, name=name, bias=bias):
-                    p = DenseParams(
-                        (t.shape[-1], n),
-                        use_bias=bias,
-                        param_dtype=self.param_dtype,
-                        name=name,
-                    )()
-                    return quantized_dense(
-                        t.astype(self.dtype),
-                        p[0].astype(self.dtype),
-                        p[1] if bias else None,
-                        out_dtype=self.dtype,
-                    )
-
-                return apply
-            return nn.Dense(
-                n,
-                use_bias=bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=name,
-            )
+        dense = lambda n, name, bias: quant_dense(  # noqa: E731
+            n, name, dtype=self.dtype, param_dtype=self.param_dtype,
+            use_bias=bias,
+        )
         if time_frames is not None:
             # Temporal self-attention WITHOUT the (b*T,S,C)->(b*S,T,C)
             # transpose (reference transformer.py:149,154). Two backends:
@@ -380,28 +420,12 @@ class FeedForward(nn.Module):
         inner = int(x.shape[-1] * self.mult)
         dim_out = self.dim_out or x.shape[-1]
 
-        def dense(n, name):
-            # Serving W8A8 (ops/quant.py) under nn.Dense's checkpoint naming;
-            # the GEGLU feed-forwards are the model's largest matmul family
-            # (~23 TFLOP/fwd, docs/ARCHITECTURE.md HLO census) and the main
-            # beneficiary of the int8 MXU rate.
-            if w8a8_enabled():
-                def apply(t, n=n, name=name):
-                    w, b = DenseParams(
-                        (t.shape[-1], n), param_dtype=self.param_dtype, name=name
-                    )()
-                    return quantized_dense(
-                        t.astype(self.dtype),
-                        w.astype(self.dtype),
-                        b,
-                        out_dtype=self.dtype,
-                    )
-
-                return apply
-            return nn.Dense(
-                n, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-            )
-
+        # the GEGLU feed-forwards are the model's largest matmul family
+        # (~23 TFLOP/fwd, docs/ARCHITECTURE.md HLO census) — the main
+        # beneficiary of the W8A8 int8 MXU rate
+        dense = lambda n, name: quant_dense(  # noqa: E731
+            n, name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
         h = dense(inner * 2, "proj_gate")(x)
         val, gate = jnp.split(h, 2, axis=-1)
         # GELU precision policy (round-3 journal): the erf GELU costs a
@@ -547,25 +571,9 @@ class MultiviewTransformer(nn.Module):
         time_context = context[::num_frames]
         ctx = context[::num_frames] if self.unflatten else context
 
-        def dense(n, name):
-            # Serving W8A8 (ops/quant.py), nn.Dense checkpoint naming.
-            if w8a8_enabled():
-                def apply(t, n=n, name=name):
-                    w, b = DenseParams(
-                        (t.shape[-1], n), param_dtype=self.param_dtype, name=name
-                    )()
-                    return quantized_dense(
-                        t.astype(self.dtype),
-                        w.astype(self.dtype),
-                        b,
-                        out_dtype=self.dtype,
-                    )
-
-                return apply
-            return nn.Dense(
-                n, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-            )
-
+        dense = lambda n, name: quant_dense(  # noqa: E731
+            n, name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
         y = GroupNorm32(param_dtype=self.param_dtype, eps=1e-6, name="norm")(x)
         y = y.reshape(B, h * w, C)
         y = dense(inner, "proj_in")(y)
@@ -602,14 +610,22 @@ class MultiviewTransformer(nn.Module):
 
 class ResBlock(nn.Module):
     """Residual block with scalar time-embedding AND dense Plücker FiLM
-    conditioning (reference seva/modules/layers.py:86-139)."""
+    conditioning (reference seva/modules/layers.py:86-139).
+
+    The FiLM tensor (resize + dense_proj of the Plücker map) depends only on
+    per-chunk conditioning, never on x or the sigma step — `film_only=True`
+    computes and returns just that tensor (for a once-per-chunk precompute
+    hoisted out of the 50-step sampling scan; see sampler.make_film_network),
+    and `film=` consumes a precomputed one instead of recomputing it. When
+    the cache has half x's batch (the CFG halves share one Plücker map,
+    ChunkConditioning contract), it broadcasts over the doubled batch."""
 
     out_channels: int | None = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, dense_emb):
+    def __call__(self, x, emb, dense_emb, film=None, film_only=False):
         C = x.shape[-1]
         out_ch = self.out_channels or C
         conv = lambda n, k, name: nn.Conv(  # noqa: E731
@@ -621,40 +637,40 @@ class ResBlock(nn.Module):
             name=name,
         )
 
-        def qconv(n, k, name):
-            # Serving W8A8 for the compute convs (ops/quant.py): int8 MXU
-            # conv under nn.Conv's checkpoint naming. dense_proj stays exact
-            # below — its contraction depth is 6 (the Plücker channels), so
-            # it is bandwidth-bound and int8 would add error for no win.
-            if w8a8_enabled():
-                def apply(t, n=n, k=k, name=name):
-                    from stable_virtual_camera_tpu.models.common import ConvParams
-                    from stable_virtual_camera_tpu.ops.quant import quantized_conv
+        if film_only:
+            # Dense spatial FiLM: Plücker map resized (align-corners
+            # bilinear) to this resolution, 1x1-projected to scale/shift
+            # (reference seva/modules/layers.py:125-131). Same ops as the
+            # inline path below, so the cached tensor is bit-identical.
+            dense = resize_bilinear_align_corners(
+                dense_emb, (x.shape[1], x.shape[2])
+            )
+            return conv(2 * C, 1, "dense_proj")(dense)
 
-                    w, b = ConvParams(
-                        (k, k, t.shape[-1], n),
-                        param_dtype=self.param_dtype,
-                        name=name,
-                    )()
-                    return quantized_conv(
-                        t.astype(self.dtype),
-                        w.astype(self.dtype),
-                        b,
-                        padding=[(k // 2, k // 2)] * 2,
-                        out_dtype=self.dtype,
-                    )
-
-                return apply
-            return conv(n, k, name)
+        # Serving W8A8 for the compute convs. dense_proj stays on the exact
+        # `conv` below — its contraction depth is 6 (the Plücker channels),
+        # so it is bandwidth-bound and int8 would add error for no win.
+        qconv = lambda n, k, name: quant_conv(  # noqa: E731
+            n, k, name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
 
         h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="in_gn")(x))
-        # Dense spatial FiLM: Plücker map resized (align-corners bilinear) to
-        # this resolution, 1x1-projected to scale/shift
-        # (reference seva/modules/layers.py:125-131).
-        dense = resize_bilinear_align_corners(dense_emb, (x.shape[1], x.shape[2]))
-        dense = conv(2 * C, 1, "dense_proj")(dense).astype(h.dtype)
+        if film is None:
+            dense = resize_bilinear_align_corners(
+                dense_emb, (x.shape[1], x.shape[2])
+            )
+            dense = conv(2 * C, 1, "dense_proj")(dense).astype(h.dtype)
+        else:
+            dense = film.astype(h.dtype)
         dense_scale, dense_shift = jnp.split(dense, 2, axis=-1)
-        h = h * (1 + dense_scale) + dense_shift
+        if dense.shape[0] != h.shape[0]:
+            # (T, ...) cache under a CFG-doubled (2T, ...) batch: reshape so
+            # the cache broadcasts — elementwise-identical to a tiled apply.
+            rep = h.shape[0] // dense.shape[0]
+            hr = h.reshape(rep, dense.shape[0], *h.shape[1:])
+            h = (hr * (1 + dense_scale) + dense_shift).reshape(h.shape)
+        else:
+            h = h * (1 + dense_scale) + dense_shift
         h = qconv(out_ch, 3, "in_conv")(h)
 
         e = nn.Dense(
@@ -678,31 +694,9 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if w8a8_enabled():
-            from stable_virtual_camera_tpu.models.common import ConvParams
-            from stable_virtual_camera_tpu.ops.quant import quantized_conv
-
-            w, b = ConvParams(
-                (3, 3, x.shape[-1], self.channels),
-                param_dtype=self.param_dtype,
-                name="conv",
-            )()
-            return quantized_conv(
-                x.astype(self.dtype),
-                w.astype(self.dtype),
-                b,
-                strides=(2, 2),
-                padding=[(1, 1), (1, 1)],
-                out_dtype=self.dtype,
-            )
-        return nn.Conv(
-            self.channels,
-            (3, 3),
-            strides=(2, 2),
-            padding=[(1, 1), (1, 1)],
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
+        return quant_conv(
+            self.channels, 3, "conv", dtype=self.dtype,
+            param_dtype=self.param_dtype, strides=(2, 2),
         )(x)
 
 
@@ -756,18 +750,52 @@ class SevaUNet(nn.Module):
     ring_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x, t_idx, context, dense_emb, num_frames: int):
+    def __call__(
+        self,
+        x,
+        t_idx,
+        context,
+        dense_emb,
+        num_frames: int,
+        film: dict | None = None,
+        film_only: bool = False,
+    ):
         sp = self.spec
         mc = sp.model_channels
-        x = x.astype(self.dtype)
-        context = context.astype(self.dtype)
         dense_emb = dense_emb.astype(self.dtype)
+        if film_only:
+            # Per-chunk FiLM precompute: walk the SAME topology loop below,
+            # but only shape-track activations (`_ShapeOnly`) and run each
+            # ResBlock's dense-FiLM branch, returning {block_name: tensor}.
+            # x/t_idx/context are unused; batch/resolution come from
+            # dense_emb. Sharing one walk guarantees the cache keys/shapes
+            # match the real forward structurally.
+            films: dict = {}
+            x = _ShapeOnly(dense_emb.shape)
+            temb = None
+        else:
+            x = x.astype(self.dtype)
+            context = context.astype(self.dtype)
 
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dense = lambda n, name: nn.Dense(n, name=name, **kw)  # noqa: E731
         conv3 = lambda n, name: nn.Conv(  # noqa: E731
             n, (3, 3), padding=[(1, 1), (1, 1)], name=name, **kw
         )
+
+        def res(out_ch, name, h):
+            blk = ResBlock(out_ch, name=name, **kw)
+            if film_only:
+                films[name] = blk(h, None, dense_emb, film_only=True)
+                return _ShapeOnly((*h.shape[:-1], out_ch or h.shape[-1]))
+            return blk(
+                h, temb, dense_emb, film=None if film is None else film[name]
+            )
+
+        def cat_skip(h, skip):
+            if film_only:
+                return _ShapeOnly((*h.shape[:-1], h.shape[-1] + skip.shape[-1]))
+            return jnp.concatenate([h, skip], axis=-1)
 
         def mvt(ch: int, level_name: str, name: str):
             return MultiviewTransformer(
@@ -782,10 +810,13 @@ class SevaUNet(nn.Module):
                 **kw,
             )
 
-        # time embedding (reference seva/model.py:47-52, 185-186)
-        temb = timestep_embedding(t_idx, mc)
-        temb = dense(4 * mc, "time_embed_0")(temb.astype(self.dtype))
-        temb = dense(4 * mc, "time_embed_2")(nn.silu(temb.astype(jnp.float32)).astype(self.dtype))
+        if not film_only:
+            # time embedding (reference seva/model.py:47-52, 185-186)
+            temb = timestep_embedding(t_idx, mc)
+            temb = dense(4 * mc, "time_embed_0")(temb.astype(self.dtype))
+            temb = dense(4 * mc, "time_embed_2")(
+                nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
+            )
 
         level_name_to_level: dict[str, int] = {}
         for level in range(len(sp.channel_mult)):
@@ -796,52 +827,64 @@ class SevaUNet(nn.Module):
 
         # ---- encoder (reference seva/model.py:54-102, 190-198) ----
         hs = []
-        h = conv3(mc, "input_blocks_0_0")(x)
+        if film_only:
+            h = _ShapeOnly((*x.shape[:-1], mc))
+        else:
+            h = conv3(mc, "input_blocks_0_0")(x)
         hs.append(h)
         ch, ds, block_idx = mc, 1, 1
         for level, mult in enumerate(sp.channel_mult):
             for _ in range(sp.num_res_blocks):
-                h = ResBlock(mult * mc, name=f"input_blocks_{block_idx}_0", **kw)(
-                    h, temb, dense_emb
-                )
+                h = res(mult * mc, f"input_blocks_{block_idx}_0", h)
                 ch = mult * mc
-                if ds in sp.attention_resolutions:
+                if ds in sp.attention_resolutions and not film_only:
                     h = mvt(ch, f"input_ds{ds}", f"input_blocks_{block_idx}_1")(
                         h, context, num_frames
                     )
                 hs.append(h)
                 block_idx += 1
             if level != len(sp.channel_mult) - 1:
-                h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **kw)(h)
+                if film_only:
+                    b_, hh, ww, _ = h.shape  # SAME-pad stride-2: ceil(n/2)
+                    h = _ShapeOnly((b_, (hh + 1) // 2, (ww + 1) // 2, ch))
+                else:
+                    h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **kw)(h)
                 ds *= 2
                 hs.append(h)
                 block_idx += 1
 
         # ---- middle (reference seva/model.py:107-131) ----
-        h = ResBlock(None, name="middle_block_0", **kw)(h, temb, dense_emb)
-        h = mvt(ch, f"middle_ds{ds}", "middle_block_1")(h, context, num_frames)
-        h = ResBlock(None, name="middle_block_2", **kw)(h, temb, dense_emb)
+        h = res(None, "middle_block_0", h)
+        if not film_only:
+            h = mvt(ch, f"middle_ds{ds}", "middle_block_1")(h, context, num_frames)
+        h = res(None, "middle_block_2", h)
 
         # ---- decoder with skip concats (reference seva/model.py:134-168, 206-214) ----
         block_idx = 0
         for level, mult in list(enumerate(sp.channel_mult))[::-1]:
             for i in range(sp.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(mult * mc, name=f"output_blocks_{block_idx}_0", **kw)(
-                    h, temb, dense_emb
-                )
+                h = cat_skip(h, skip)
+                h = res(mult * mc, f"output_blocks_{block_idx}_0", h)
                 ch = mult * mc
                 layer_idx = 1
                 if ds in sp.attention_resolutions:
-                    h = mvt(ch, f"output_ds{ds}", f"output_blocks_{block_idx}_{layer_idx}")(
-                        h, context, num_frames
-                    )
+                    if not film_only:
+                        h = mvt(ch, f"output_ds{ds}", f"output_blocks_{block_idx}_{layer_idx}")(
+                            h, context, num_frames
+                        )
                     layer_idx += 1
                 if level and i == sp.num_res_blocks:
-                    h = Upsample(ch, name=f"output_blocks_{block_idx}_{layer_idx}", **kw)(h)
+                    if film_only:
+                        b_, hh, ww, _ = h.shape
+                        h = _ShapeOnly((b_, 2 * hh, 2 * ww, ch))
+                    else:
+                        h = Upsample(ch, name=f"output_blocks_{block_idx}_{layer_idx}", **kw)(h)
                     ds //= 2
                 block_idx += 1
+
+        if film_only:
+            return films
 
         # ---- head (reference seva/model.py:170-174) ----
         h = nn.silu(GroupNorm32(param_dtype=self.param_dtype, name="out_gn")(h))

@@ -289,6 +289,12 @@ def euler_edm_step(
     return x + (sigma_next - sigma_hat_raw) * d
 
 
+def film_cache_enabled() -> bool:
+    """Per-chunk FiLM precompute (hoists each ResBlock's resize+dense_proj
+    of the Plücker map out of the sigma scan). SVC_FILM_CACHE=0 disables."""
+    return os.environ.get("SVC_FILM_CACHE", "1") != "0"
+
+
 def plan_to_device(plan: SamplingPlan) -> dict[str, jnp.ndarray]:
     return {
         "sigma_hat_raw": jnp.asarray(plan.sigma_hat_raw),
@@ -368,10 +374,15 @@ class UNetDenoiser:
             out_shardings=vs(4),
         )
 
-    def network_with_params(self, params, x, concat, t_vec, crossattn, dense, num_frames):
+    def network_with_params(
+        self, params, x, concat, t_vec, crossattn, dense, num_frames, film=None
+    ):
         from stable_virtual_camera_tpu.models.unet import assemble_network_input
 
         net_in = assemble_network_input(x, concat)
+        # film only as an explicit kwarg: test doubles for the network don't
+        # speak the FiLM-cache protocol
+        kwargs = {} if film is None else {"film": film}
         return self.unet.apply(
             {"params": params},
             net_in,
@@ -379,12 +390,52 @@ class UNetDenoiser:
             crossattn,
             dense,
             num_frames=num_frames,
+            **kwargs,
         )
 
     def network_fn(self, x, concat, t_vec, crossattn, dense, num_frames):
         return self.network_with_params(
             self.params, x, concat, t_vec, crossattn, dense, num_frames
         )
+
+    def _bound_network(self, params, cond, T, full_batch=False):
+        """network_fn for one chunk, with the per-chunk FiLM cache
+        precomputed and bound: each ResBlock's resize + dense_proj of the
+        Plücker map depends only on the chunk conditioning, so it is hoisted
+        here (once per chunk, inside the same jitted program) instead of
+        recomputed at every sigma step of the scan. The ChunkConditioning
+        contract guarantees the CFG halves share one Plücker map
+        (engine/runner.py build_chunk_conditioning concatenates
+        [plucker, plucker]), so by default the cache is computed at T —
+        half the batch — and broadcast over the doubled batch at apply
+        time. `full_batch=True` computes it at 2T instead (used under the
+        view-sharded pjit, where the broadcast reshape would split the
+        sharded batch axis; also contract-free). The cache scales linearly
+        with T (~1-2 GB bf16 at 2x21 frames, 576p): above
+        SVC_FILM_CACHE_MAX_T (default 48) the per-step recompute is kept —
+        the T~90 semi-dense regime would spend several HBM GB on it.
+        SVC_FILM_CACHE=0 restores the per-step recompute everywhere."""
+        from stable_virtual_camera_tpu.models.unet import SevaUNet
+
+        max_t = int(os.environ.get("SVC_FILM_CACHE_MAX_T", "48"))
+        if (
+            not film_cache_enabled()
+            or T > max_t
+            or not isinstance(self.unet, SevaUNet)
+        ):
+            # dummy network modules in tests don't implement the film_only
+            # walk; the cache is a SevaUNet-specific protocol
+            return partial(self.network_with_params, params)
+        film = self.unet.apply(
+            {"params": params},
+            None,
+            None,
+            None,
+            cond.dense if full_batch else cond.dense[:T],
+            num_frames=T,
+            film_only=True,
+        )
+        return partial(self.network_with_params, params, film=film)
 
     def sample(
         self,
@@ -413,10 +464,17 @@ class UNetDenoiser:
         def _scan_plain():
             bucket = ("scan", T, h, w, plan.num_steps)
             if bucket not in self._jitted:
+                # View-sharded buckets compute the FiLM cache at the full 2T
+                # batch (the half-batch broadcast reshape would split the
+                # sharded axis); GSPMD keeps the per-sample precompute local.
+                sharded = (
+                    self.mesh is not None
+                    and T % self.mesh.shape.get("view", 1) == 0
+                )
 
-                def run(params, noise, plan_arrays, cond, key, _T=T):
+                def run(params, noise, plan_arrays, cond, key, _T=T, _sh=sharded):
                     return euler_edm_sample(
-                        partial(self.network_with_params, params),
+                        self._bound_network(params, cond, _T, full_batch=_sh),
                         noise,
                         plan_arrays,
                         cond,
@@ -446,7 +504,7 @@ class UNetDenoiser:
 
                 def run_tracked(params, noise, plan_arrays, cond, key, handle, _T=T):
                     return euler_edm_sample(
-                        partial(self.network_with_params, params),
+                        self._bound_network(params, cond, _T),
                         noise,
                         plan_arrays,
                         cond,
@@ -550,8 +608,11 @@ class UNetDenoiser:
                 def one(c, k):
                     k_init, k_loop = jax.random.split(k)
                     noise = jax.random.normal(k_init, (_T, h, w, C), jnp.float32)
+                    # FiLM precompute vmaps per chunk; 'data' sharding keeps
+                    # each chunk whole on its device group, so the broadcast
+                    # apply stays local.
                     return euler_edm_sample(
-                        partial(self.network_with_params, params),
+                        self._bound_network(params, c, _T),
                         noise, plan_arrays, c, k_loop, num_frames=_T,
                     )
 

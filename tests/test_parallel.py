@@ -54,10 +54,13 @@ def setup():
 
     rng = np.random.default_rng(0)
     noise = jnp.asarray(rng.normal(size=(T, h, w, 4)).astype(np.float32))
+    plucker = rng.normal(size=(T, h, w, 6)).astype(np.float32)
     cond = ChunkConditioning(
         crossattn=jnp.asarray(rng.normal(size=(2 * T, 1, 64)).astype(np.float32)),
         concat=jnp.asarray(rng.normal(size=(2 * T, h, w, 7)).astype(np.float32)),
-        dense=jnp.asarray(rng.normal(size=(2 * T, h, w, 6)).astype(np.float32)),
+        # ChunkConditioning contract: the CFG halves share one Plücker map
+        # (the FiLM cache relies on it)
+        dense=jnp.asarray(np.concatenate([plucker, plucker], 0)),
         replace=jnp.asarray(
             (rng.normal(size=(2 * T, h, w, 5)) * 0.1).astype(np.float32)
         ),
