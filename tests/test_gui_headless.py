@@ -188,6 +188,7 @@ def test_prepare_forces_interp_above_10_views(tiny_renderer):
     assert plan["options"].chunk_strategy == "interp"  # demo_gr.py:242-244
 
 
+@pytest.mark.slow  # builds the tiny_renderer bundle: ~1 min of setup alone
 def test_preprocess_advanced_with_native_aligner(monkeypatch, tmp_path, tiny_renderer):
     """Advanced-mode preprocessing end-to-end: fake dust3r NETWORK -> native
     global aligner -> normalized scene dict -> renderer plan (reference
