@@ -355,75 +355,107 @@ def main(
         ):
             print(f"Skipping {scene} as it is already sampled.")
             continue
-
-        (
-            all_imgs_path,
-            n_inputs,
-            num_targets,
-            input_indices,
-            anchor_indices,
-            c2ws,
-            Ks,
-            anchor_c2ws,
-            anchor_Ks,
-        ) = parse_task(task, scene, num_inputs, version.T, version, options)
-        assert n_inputs is not None
-        image_cond = {
-            "img": all_imgs_path,
-            "input_indices": input_indices,
-            "prior_indices": anchor_indices,
-        }
-        camera_cond = {
-            "c2w": c2ws.copy(),
-            "K": [k for k in Ks.copy()],
-            "input_indices": list(range(n_inputs + num_targets)),
-        }
-        engine = SceneEngine(bundle, version, options)
-        for _ in engine.run_one_scene(
-            task,
-            image_cond,
-            camera_cond,
-            save_path=save_path_scene,
-            use_traj_prior=use_traj_prior,
-            traj_prior_Ks=anchor_Ks,
-            traj_prior_c2ws=anchor_c2ws,
-            seed=seed,
-        ):
-            pass
-
-        # OpenCV -> OpenGL for the exported transforms.json
-        # (reference demo.py:378-403)
-        c2ws_gl = np.concatenate(
-            [c2ws, np.repeat(np.array([[[0.0, 0, 0, 1]]]), len(c2ws), 0)], axis=1
-        ) @ np.diag([1.0, -1.0, -1.0, 1.0])
-        img_paths = sorted(
-            globlib.glob(osp.join(save_path_scene, "samples-rgb", "*.png"))
-        )
-        if len(img_paths) != len(c2ws_gl):
-            input_img_paths = sorted(
-                globlib.glob(osp.join(save_path_scene, "input", "*.png"))
-            )
-            assert len(img_paths) == num_targets
-            assert len(input_img_paths) == n_inputs
-            target_indices = [
-                i for i in range(len(c2ws_gl)) if i not in input_indices
-            ]
-            img_paths = [
-                input_img_paths[input_indices.index(i)]
-                if i in input_indices
-                else img_paths[target_indices.index(i)]
-                for i in range(len(c2ws_gl))
-            ]
-        create_transforms_simple(
-            save_path=save_path_scene,
-            img_paths=img_paths,
-            img_whs=np.array([version.W, version.H])[None].repeat(
-                n_inputs + num_targets, 0
-            ),
-            c2ws=c2ws_gl,
-            Ks=Ks,
+        render_one_scene(
+            bundle, version, options, task, scene, save_path_scene,
+            use_traj_prior=use_traj_prior, seed=seed, num_inputs=num_inputs,
         )
         print(f"[cli] scene done: {save_path_scene}")
+
+
+def render_one_scene(
+    bundle,
+    version,
+    options,
+    task,
+    scene,
+    save_path_scene,
+    *,
+    use_traj_prior=False,
+    seed=23,
+    num_inputs=None,
+    abort_event=None,
+    first_pass_pbar=None,
+    second_pass_pbar=None,
+):
+    """Render ONE scene end-to-end: parse_task -> SceneEngine.run_one_scene ->
+    OpenCV->OpenGL transforms.json export (reference demo.py:274-404 loop
+    body). Shared by the CLI loop above and the HTTP render service
+    (apps/server.py); the pbar/abort hooks thread straight through to the
+    engine. Returns save_path_scene."""
+    (
+        all_imgs_path,
+        n_inputs,
+        num_targets,
+        input_indices,
+        anchor_indices,
+        c2ws,
+        Ks,
+        anchor_c2ws,
+        anchor_Ks,
+    ) = parse_task(task, scene, num_inputs, version.T, version, options)
+    assert n_inputs is not None
+    image_cond = {
+        "img": all_imgs_path,
+        "input_indices": input_indices,
+        "prior_indices": anchor_indices,
+    }
+    camera_cond = {
+        "c2w": c2ws.copy(),
+        "K": [k for k in Ks.copy()],
+        "input_indices": list(range(n_inputs + num_targets)),
+    }
+    engine = SceneEngine(bundle, version, options)
+    for _ in engine.run_one_scene(
+        task,
+        image_cond,
+        camera_cond,
+        save_path=save_path_scene,
+        use_traj_prior=use_traj_prior,
+        traj_prior_Ks=anchor_Ks,
+        traj_prior_c2ws=anchor_c2ws,
+        seed=seed,
+        abort_event=abort_event,
+        first_pass_pbar=first_pass_pbar,
+        second_pass_pbar=second_pass_pbar,
+    ):
+        if abort_event is not None and abort_event.is_set():
+            return None
+    if abort_event is not None and abort_event.is_set():
+        return None  # aborted inside the last chunk: outputs are incomplete
+
+    # OpenCV -> OpenGL for the exported transforms.json
+    # (reference demo.py:378-403)
+    c2ws_gl = np.concatenate(
+        [c2ws, np.repeat(np.array([[[0.0, 0, 0, 1]]]), len(c2ws), 0)], axis=1
+    ) @ np.diag([1.0, -1.0, -1.0, 1.0])
+    img_paths = sorted(
+        globlib.glob(osp.join(save_path_scene, "samples-rgb", "*.png"))
+    )
+    if len(img_paths) != len(c2ws_gl):
+        input_img_paths = sorted(
+            globlib.glob(osp.join(save_path_scene, "input", "*.png"))
+        )
+        assert len(img_paths) == num_targets
+        assert len(input_img_paths) == n_inputs
+        target_indices = [
+            i for i in range(len(c2ws_gl)) if i not in input_indices
+        ]
+        img_paths = [
+            input_img_paths[input_indices.index(i)]
+            if i in input_indices
+            else img_paths[target_indices.index(i)]
+            for i in range(len(c2ws_gl))
+        ]
+    create_transforms_simple(
+        save_path=save_path_scene,
+        img_paths=img_paths,
+        img_whs=np.array([version.W, version.H])[None].repeat(
+            n_inputs + num_targets, 0
+        ),
+        c2ws=c2ws_gl,
+        Ks=Ks,
+    )
+    return save_path_scene
 
 
 def _parse_argv(argv):
