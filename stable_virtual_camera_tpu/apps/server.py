@@ -228,6 +228,47 @@ def engine_runner(bundle, version_factory, default_options, work_dir):
     return run
 
 
+def warmup_buckets(bundle, version, num_steps=50):
+    """Precompile (and prime) the denoise-scan shape buckets BEFORE serving:
+    the sampler jit-caches per (T, h, w, num_steps) bucket on
+    `bundle.denoiser`, which this server keeps for its lifetime — so one
+    zero-conditioned sample per expected bucket at startup moves the
+    multi-minute first compile out of the first request. Runs the real
+    sampler (FiLM cache, flash kernels, mesh shardings — whatever serving
+    will use)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_virtual_camera_tpu.sampling.discretization import (
+        DDPMDiscretization,
+    )
+    from stable_virtual_camera_tpu.sampling.sampler import (
+        ChunkConditioning,
+        make_sampling_plan,
+    )
+
+    spec = bundle.spec
+    h, w = version.latent_hw
+    plan = make_sampling_plan(DDPMDiscretization(), num_steps)
+    Ts = version.T if isinstance(version.T, list) else [version.T]
+    for T in dict.fromkeys(int(t) for t in Ts):
+        z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+        cond = ChunkConditioning(
+            crossattn=z(2 * T, 1, spec.context_dim),
+            concat=z(2 * T, h, w, spec.in_channels - 4),
+            dense=z(2 * T, h, w, spec.dense_in_channels),
+            replace=z(2 * T, h, w, 5),
+            scale=jnp.full((T,), 2.0, jnp.float32),
+        )
+        t0 = time.time()
+        out = bundle.denoiser.sample(
+            z(T, h, w, 4), plan, cond, jax.random.PRNGKey(0)
+        )
+        out.block_until_ready()
+        print(f"[server] warmed bucket T={T} {h}x{w} steps={num_steps} "
+              f"({time.time() - t0:.1f}s)")
+
+
 def build_http_server(service: RenderService, host="127.0.0.1", port=0):
     """stdlib ThreadingHTTPServer speaking the /v1 JSON API above."""
 
@@ -287,6 +328,8 @@ def main(
     mesh_view=None,
     mesh_data=None,
     quant=None,
+    warmup=False,
+    warmup_steps=50,
 ):
     import os
 
@@ -303,6 +346,9 @@ def main(
         if is_tiny:
             return VersionConfig(H=64, W=64, T=bundle.spec.num_frames)
         return VersionConfig()
+
+    if warmup:
+        warmup_buckets(bundle, version_factory(), num_steps=int(warmup_steps))
 
     service = RenderService(
         engine_runner(bundle, version_factory, _default_options, work_dir)

@@ -166,6 +166,36 @@ def test_http_api_roundtrip(http_stack):
     assert code == 202  # abort of a finished job is still acknowledged
 
 
+def test_warmup_buckets_covers_each_T_once():
+    """warmup_buckets drives one zero-conditioned sample per distinct T at
+    the version's latent resolution (dedup [21, 21] -> one call), with the
+    CFG-doubled conditioning shapes the engine produces."""
+    from stable_virtual_camera_tpu.apps.server import warmup_buckets
+    from stable_virtual_camera_tpu.config import SevaSpec, VersionConfig
+
+    calls = []
+
+    class FakeDenoiser:
+        def sample(self, noise, plan, cond, key):
+            calls.append((noise.shape, cond.crossattn.shape, cond.dense.shape,
+                          plan.num_steps))
+            import jax.numpy as jnp
+
+            return jnp.zeros_like(noise)
+
+    class FakeBundle:
+        spec = SevaSpec.tiny()
+        denoiser = FakeDenoiser()
+
+    version = VersionConfig(H=64, W=64, T=[3, 3])
+    warmup_buckets(FakeBundle(), version, num_steps=4)
+    assert len(calls) == 1  # duplicate T deduped
+    noise_shape, ca_shape, dense_shape, steps = calls[0]
+    assert noise_shape == (3, 8, 8, 4) and steps == 4
+    assert ca_shape == (6, 1, FakeBundle.spec.context_dim)
+    assert dense_shape == (6, 8, 8, FakeBundle.spec.dense_in_channels)
+
+
 @pytest.mark.slow  # engine-scale: renders a real (tiny) scene end-to-end
 def test_server_end_to_end_tiny_scene(tmp_path):
     import json as jsonlib
