@@ -251,8 +251,8 @@ def warmup_buckets(bundle, version, num_steps=50):
     h, w = version.latent_hw
     plan = make_sampling_plan(DDPMDiscretization(), num_steps)
     Ts = version.T if isinstance(version.T, list) else [version.T]
+    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
     for T in dict.fromkeys(int(t) for t in Ts):
-        z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
         cond = ChunkConditioning(
             crossattn=z(2 * T, 1, spec.context_dim),
             concat=z(2 * T, h, w, spec.in_channels - 4),
@@ -267,6 +267,17 @@ def warmup_buckets(bundle, version, num_steps=50):
         out.block_until_ready()
         print(f"[server] warmed bucket T={T} {h}x{w} steps={num_steps} "
               f"({time.time() - t0:.1f}s)")
+    if getattr(bundle, "vae", None) is not None:
+        # decode compiles per pow2 bucket and per output dtype: the first
+        # pass decodes fp32 (frames are re-fed as anchors), the second
+        # uint8 (device-side quantization straight to the save sink)
+        n = 1 << (max(int(t) for t in Ts) - 1).bit_length()
+        t0 = time.time()
+        for u8 in (False, True):
+            jax.block_until_ready(
+                bundle.vae.decode_async(z(n, h, w, 4), None, uint8=u8)
+            )
+        print(f"[server] warmed VAE decode bucket n={n} ({time.time() - t0:.1f}s)")
 
 
 def build_http_server(service: RenderService, host="127.0.0.1", port=0):

@@ -196,18 +196,13 @@ def test_warmup_buckets_covers_each_T_once():
     assert dense_shape == (6, 8, 8, FakeBundle.spec.dense_in_channels)
 
 
-@pytest.mark.slow  # engine-scale: renders a real (tiny) scene end-to-end
-def test_server_end_to_end_tiny_scene(tmp_path):
+def _write_tiny_scene(tmp_path, rng):
     import json as jsonlib
 
     from PIL import Image
 
     from conftest import random_c2ws
-    from stable_virtual_camera_tpu.apps.cli import _build_bundle, _default_options
-    from stable_virtual_camera_tpu.apps.server import engine_runner
-    from stable_virtual_camera_tpu.config import VersionConfig
 
-    rng = np.random.default_rng(0)
     scene = tmp_path / "data" / "scene0"
     (scene / "images").mkdir(parents=True)
     n = 6
@@ -227,6 +222,65 @@ def test_server_end_to_end_tiny_scene(tmp_path):
     (scene / "train_test_split_1.json").write_text(
         jsonlib.dumps({"train_ids": [0], "test_ids": list(range(1, n))})
     )
+    return scene
+
+
+@pytest.mark.slow  # engine-scale: two full renders of the same scene
+def test_server_output_identical_to_cli(tmp_path):
+    """The service renders through the SAME render_one_scene as the CLI —
+    same seed, same scene must give byte-identical frames. Pins the
+    refactor contract between apps/cli.py and apps/server.py."""
+    import glob
+    import os.path as osp
+    import threading as _t
+
+    from stable_virtual_camera_tpu.apps import cli as cli_mod
+    from stable_virtual_camera_tpu.apps.server import engine_runner
+    from stable_virtual_camera_tpu.config import VersionConfig
+
+    rng = np.random.default_rng(0)
+    _write_tiny_scene(tmp_path, rng)
+    opts = dict(task="img2trajvid", use_traj_prior=True, num_steps=2,
+                guider_types=[1, 2], cfg=[2.0, 2.0], sampler_verbose=False)
+
+    cli_mod.main(
+        data_path=str(tmp_path / "data"), random_model=True,
+        work_dir=str(tmp_path / "w_cli"), **opts,
+    )
+
+    bundle, _ = cli_mod._build_bundle(None, random_model=True)
+    runner = engine_runner(
+        bundle,
+        lambda: VersionConfig(H=64, W=64, T=bundle.spec.num_frames),
+        cli_mod._default_options,
+        str(tmp_path / "w_srv"),
+    )
+
+    class Job:  # minimal stand-in; runner only touches .progress
+        progress = {}
+
+    outs = runner({"data_path": str(tmp_path / "data"), **opts}, Job(), _t.Event())
+    assert len(outs) == 1
+
+    cli_pngs = sorted(
+        glob.glob(str(tmp_path / "w_cli" / "img2trajvid" / "scene0" /
+                      "samples-rgb" / "*.png"))
+    )
+    srv_pngs = sorted(glob.glob(osp.join(outs[0], "samples-rgb", "*.png")))
+    assert len(cli_pngs) == len(srv_pngs) > 0
+    for a, b in zip(cli_pngs, srv_pngs):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), (a, b)
+
+
+@pytest.mark.slow  # engine-scale: renders a real (tiny) scene end-to-end
+def test_server_end_to_end_tiny_scene(tmp_path):
+    from stable_virtual_camera_tpu.apps.cli import _build_bundle, _default_options
+    from stable_virtual_camera_tpu.apps.server import engine_runner
+    from stable_virtual_camera_tpu.config import VersionConfig
+
+    rng = np.random.default_rng(0)
+    _write_tiny_scene(tmp_path, rng)
 
     bundle, _ = _build_bundle(None, random_model=True)
     runner = engine_runner(
