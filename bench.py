@@ -371,7 +371,10 @@ if __name__ == "__main__":
             "metric": "bench_error", "value": 0, "unit": "error",
             "vs_baseline": 0,
             "detail": "accelerator unreachable: device health probe "
-                      f"(128x128 matmul subprocess) failed for {int(wait_s)}s",
+                      f"(128x128 matmul subprocess) failed for {int(wait_s)}s; "
+                      "last in-session measurement on this code: see "
+                      "docs/ARCHITECTURE.md round-3 journal (0.5282 f/s, "
+                      "vs_baseline 0.978, measured 2026-08-17 pre-outage)",
         }))
         sys.exit(1)
     if "--quant" in sys.argv:

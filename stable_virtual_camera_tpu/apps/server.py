@@ -341,6 +341,7 @@ def main(
     quant=None,
     warmup=False,
     warmup_steps=50,
+    artifact_dir=None,
 ):
     import os
 
@@ -352,6 +353,16 @@ def main(
     bundle, is_tiny = _build_bundle(
         checkpoint_dir, random_model, mesh_view=mesh_view, mesh_data=mesh_data
     )
+    if artifact_dir is not None:
+        # AOT deployment: matching denoise buckets run the pinned exported
+        # program instead of retracing the model (models/export.py)
+        from stable_virtual_camera_tpu.models.export import load_denoise_artifacts
+
+        bundle.denoiser.artifacts.update(
+            load_denoise_artifacts(artifact_dir, params=bundle.denoiser.params)
+        )
+        print(f"[server] loaded {len(bundle.denoiser.artifacts)} AOT denoise "
+              f"bucket(s) from {artifact_dir}")
 
     def version_factory():
         if is_tiny:

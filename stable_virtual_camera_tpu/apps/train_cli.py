@@ -13,7 +13,10 @@ Invocation (same fire-style flags as apps/cli.py):
       --data_path scenes/rose --checkpoint_dir ckpts/converted \
       --work_dir work_dirs/ft_rose --num_steps 2000 --lr 1e-5 \
       --ema_decay 0.9999 --num_input_frames 3
-Smoke test without weights: --random_model True (tiny spec, 64x64).
+Parameter-efficient: --lora_rank 16 [--lora_alpha 16] [--save_merged True]
+trains low-rank adapters only (training/lora.py) and can fold them back
+into a served weight tree. Smoke test without weights: --random_model True
+(tiny spec, 64x64).
 """
 
 from __future__ import annotations
@@ -72,6 +75,10 @@ def main(
     ema_decay: float | None = None,
     grad_accum: int = 1,
     remat: bool = False,
+    lora_rank: int | None = None,
+    lora_alpha: float | None = None,
+    lora_pattern: str | None = None,
+    save_merged: bool = False,
     mesh_view: int = 1,
     ckpt_every: int = 500,
     log_every: int = 10,
@@ -143,26 +150,59 @@ def main(
     if grad_accum > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
 
-    if mesh is not None:
+    params = jax.tree.map(jnp.asarray, bundle.denoiser.params)
+    lora = None
+    if lora_rank is not None:
+        # parameter-efficient path (training/lora.py): only the adapter
+        # tree trains; base weights flow through the step frozen
+        if mesh is not None:
+            raise ValueError("--lora_rank does not combine with --mesh_view "
+                             "(shard the full fine-tune instead)")
+        if ema_decay is not None:
+            raise ValueError("--lora_rank does not combine with --ema_decay "
+                             "(adapters converge in few steps; EMA targets "
+                             "the full fine-tune)")
+        from stable_virtual_camera_tpu.training.lora import (
+            DEFAULT_PATTERN,
+            init_lora,
+            make_lora_train_step,
+        )
+
+        lora = init_lora(
+            params, int(lora_rank), jax.random.PRNGKey(seed + 1),
+            pattern=lora_pattern or DEFAULT_PATTERN,
+        )
+        n_adapt = sum(x.size for x in jax.tree.leaves(lora))
+        n_base = sum(x.size for x in jax.tree.leaves(params))
+        print(f"[train] LoRA rank {lora_rank}: {len(lora)} kernels, "
+              f"{n_adapt:,} trainable params ({n_adapt / n_base:.2%} of base)")
+        step_fn = make_lora_train_step(
+            bundle.denoiser.unet, opt, T, alpha=lora_alpha, remat=remat
+        )
+        opt_state = opt.init(lora)
+    elif mesh is not None:
         step_fn = make_sharded_train_step(
             bundle.denoiser.unet, opt, T, mesh, remat=remat, ema_decay=ema_decay
         )
+        opt_state = opt.init(params)
     else:
         step_fn = make_train_step(
             bundle.denoiser.unet, opt, T, remat=remat, ema_decay=ema_decay
         )
-
-    params = jax.tree.map(jnp.asarray, bundle.denoiser.params)
-    opt_state = opt.init(params)
+        opt_state = opt.init(params)
     ema_params = (
         jax.tree.map(jnp.copy, params) if ema_decay is not None else None
     )
     start_step = 0
     ckpt_path = osp.join(osp.abspath(work_dir), "state")
     if resume and osp.exists(ckpt_path):
-        params, opt_state, start_step, restored_ema = restore_train_state(
+        restored, opt_state, start_step, restored_ema = restore_train_state(
             ckpt_path, opt_state
         )
+        if lora is not None:
+            lora = restored  # LoRA checkpoints hold the adapter tree
+        else:
+            params = restored
         if ema_decay is not None and restored_ema is not None:
             ema_params = restored_ema
         print(f"[train] resumed from {ckpt_path} at step {start_step}")
@@ -177,7 +217,10 @@ def main(
     t0, losses = time.time(), []
     for i, batch in zip(range(start_step, num_steps), batches):
         key, step_key = jax.random.split(key)
-        if ema_decay is not None:
+        if lora is not None:
+            lora, opt_state, loss = step_fn(params, lora, opt_state,
+                                            batch, step_key)
+        elif ema_decay is not None:
             params, opt_state, ema_params, loss = step_fn(
                 params, opt_state, ema_params, batch, step_key
             )
@@ -194,9 +237,26 @@ def main(
             )
         if step % ckpt_every == 0 or step == num_steps:
             save_train_state(
-                ckpt_path, params, opt_state, step=step, ema_params=ema_params
+                ckpt_path, lora if lora is not None else params, opt_state,
+                step=step, ema_params=ema_params,
             )
             print(f"[train] checkpoint at step {step}: {ckpt_path}")
+    if lora is not None and save_merged:
+        # a single served weight tree: base + adapters folded in, written in
+        # the converted-checkpoint format load_bundle reads
+        from stable_virtual_camera_tpu.models.io import save_converted
+        from stable_virtual_camera_tpu.training.lora import merge_lora
+
+        merged_dir = osp.join(osp.abspath(work_dir), "merged")
+        save_converted(
+            {
+                "unet": merge_lora(params, lora, lora_alpha),
+                "vae": bundle.vae.params,
+                "clip": bundle.clip.params,
+            },
+            merged_dir,
+        )
+        print(f"[train] merged LoRA weights -> {merged_dir}")
     print(f"[train] done: {ckpt_path}")
 
 

@@ -310,15 +310,22 @@ class UNetDenoiser:
     """Binds SevaUNet params into a `network_fn` and jit-caches the full
     sampling program per (T, h, w, steps) shape bucket."""
 
-    def __init__(self, unet_module, params, mesh=None):
+    def __init__(self, unet_module, params, mesh=None, artifacts=None):
         """`mesh` (jax.sharding.Mesh with a 'view' axis) turns every sampling
         program into a view-sharded pjit: frames distribute over the axis,
         params replicate, and the joint-attention collectives ride ICI
         (parallel/sharding.py semantics, engine-integrated). Buckets whose T
-        does not divide the axis fall back to single-device jit."""
+        does not divide the axis fall back to single-device jit.
+
+        `artifacts` maps ("scan", T, h, w, steps) buckets to AOT-exported
+        programs (`jax.export.Exported`, see models/export.py): matching
+        plain-scan buckets run the deserialized artifact instead of
+        re-tracing the model — the deployment path where serving fleets
+        ship a pinned program + weights and never retrace."""
         self.unet = unet_module
         self.params = params
         self.mesh = mesh
+        self.artifacts = artifacts or {}
         self._jitted: dict[tuple, Callable] = {}
         self._warned_unsharded: set[int] = set()
 
@@ -373,6 +380,28 @@ class UNetDenoiser:
             in_shardings=(params_sh, vs(4), plan_sh, cond_sh, scalar),
             out_shardings=vs(4),
         )
+
+    def make_scan_fn(self, T: int):
+        """The pure plain-scan program for one T bucket:
+        `run(params, noise, plan_arrays, cond, key) -> latents`. Shared by
+        the live-jit path (`sample`) and AOT export (models/export.py).
+
+        View-sharded buckets compute the FiLM cache at the full 2T batch
+        (the half-batch broadcast reshape would split the sharded axis);
+        GSPMD keeps the per-sample precompute local."""
+        sharded = self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
+
+        def run(params, noise, plan_arrays, cond, key, _T=T, _sh=sharded):
+            return euler_edm_sample(
+                self._bound_network(params, cond, _T, full_batch=_sh),
+                noise,
+                plan_arrays,
+                cond,
+                key,
+                num_frames=_T,
+            )
+
+        return run
 
     def network_with_params(
         self, params, x, concat, t_vec, crossattn, dense, num_frames, film=None
@@ -464,25 +493,14 @@ class UNetDenoiser:
         def _scan_plain():
             bucket = ("scan", T, h, w, plan.num_steps)
             if bucket not in self._jitted:
-                # View-sharded buckets compute the FiLM cache at the full 2T
-                # batch (the half-batch broadcast reshape would split the
-                # sharded axis); GSPMD keeps the per-sample precompute local.
-                sharded = (
-                    self.mesh is not None
-                    and T % self.mesh.shape.get("view", 1) == 0
-                )
-
-                def run(params, noise, plan_arrays, cond, key, _T=T, _sh=sharded):
-                    return euler_edm_sample(
-                        self._bound_network(params, cond, _T, full_batch=_sh),
-                        noise,
-                        plan_arrays,
-                        cond,
-                        key,
-                        num_frames=_T,
+                if bucket in self.artifacts:
+                    # AOT artifact: the serialized program already contains
+                    # the traced scan — jit of Exported.call just compiles it.
+                    self._jitted[bucket] = jax.jit(self.artifacts[bucket].call)
+                else:
+                    self._jitted[bucket] = self._maybe_shard(
+                        self.make_scan_fn(T), T, has_per_step=False
                     )
-
-                self._jitted[bucket] = self._maybe_shard(run, T, has_per_step=False)
             return self._jitted[bucket](
                 self.params, noise, plan_to_device(plan), cond, key
             )
@@ -492,10 +510,13 @@ class UNetDenoiser:
 
         stepwise = os.environ.get("SVC_STEPWISE_SAMPLER", "0") == "1"
         sharded = self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
+        pinned = ("scan", T, h, w, plan.num_steps) in self.artifacts
         use_in_scan = (
             not stepwise
             and not sharded  # io_callback placement under pjit is per-device;
             # the sharded buckets keep the coarse fallback
+            and not pinned  # an AOT artifact IS the validated program —
+            # run it (coarse progress) rather than live-trace a tracked twin
             and io_callback_supported()
         )
         if use_in_scan:
@@ -653,4 +674,16 @@ jax.tree_util.register_pytree_node(
     ChunkConditioning,
     lambda c: ((c.crossattn, c.concat, c.dense, c.replace, c.scale), None),
     lambda _, xs: ChunkConditioning(*xs),
+)
+
+# jax.export serializes the argument treedef into the AOT artifact
+# (models/export.py); custom nodes need an explicit named serializer or
+# Exported.serialize() refuses the signature. auxdata is always None here.
+from jax import export as _jax_export  # noqa: E402
+
+_jax_export.register_pytree_node_serialization(
+    ChunkConditioning,
+    serialized_name="stable_virtual_camera_tpu.ChunkConditioning",
+    serialize_auxdata=lambda aux: b"",
+    deserialize_auxdata=lambda b: None,
 )
