@@ -81,7 +81,7 @@ def main() -> None:
         # per-chunk FiLM precompute (sampler.film_cache_enabled semantics):
         # the resize+dense_proj of the Plücker map is a per-step constant,
         # computed once here instead of 50x inside the scan
-        if os.environ.get("SVC_FILM_CACHE", "1") != "0":
+        if os.environ.get("SVC_FILM_CACHE", "0") == "1":
             film = unet.apply(
                 {"params": p}, None, None, None, cond.dense[:T],
                 num_frames=T, film_only=True,

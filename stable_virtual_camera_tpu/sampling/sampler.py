@@ -291,8 +291,11 @@ def euler_edm_step(
 
 def film_cache_enabled() -> bool:
     """Per-chunk FiLM precompute (hoists each ResBlock's resize+dense_proj
-    of the Plücker map out of the sigma scan). SVC_FILM_CACHE=0 disables."""
-    return os.environ.get("SVC_FILM_CACHE", "1") != "0"
+    of the Plücker map out of the sigma scan). Exact (tests/test_film_cache)
+    but measured NEUTRAL on the real chip (38.44 vs 37.81 s denoise, within
+    relay noise — docs/ARCHITECTURE.md round-3 journal) while holding ~1-2 GB
+    of HBM at 2x21 frames, so the default is OFF; SVC_FILM_CACHE=1 enables."""
+    return os.environ.get("SVC_FILM_CACHE", "0") == "1"
 
 
 def plan_to_device(plan: SamplingPlan) -> dict[str, jnp.ndarray]:
@@ -443,7 +446,8 @@ class UNetDenoiser:
         with T (~1-2 GB bf16 at 2x21 frames, 576p): above
         SVC_FILM_CACHE_MAX_T (default 48) the per-step recompute is kept —
         the T~90 semi-dense regime would spend several HBM GB on it.
-        SVC_FILM_CACHE=0 restores the per-step recompute everywhere."""
+        Measured NEUTRAL on the real chip (round-3 journal), so the cache
+        is opt-in: SVC_FILM_CACHE=1 enables, default recomputes per step."""
         from stable_virtual_camera_tpu.models.unet import SevaUNet
 
         max_t = int(os.environ.get("SVC_FILM_CACHE_MAX_T", "48"))
