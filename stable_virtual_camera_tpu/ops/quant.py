@@ -42,6 +42,16 @@ is a beyond-parity TPU capability. Accuracy evidence available in this
 environment: end-to-end bf16-vs-w8a8 latent deviation on synthetic weights
 (tests/test_quant.py); real-weight PSNR/LPIPS goes through benchmark/
 run_eval.py the day checkpoints can land.
+
+MEASURED (round-3 TPU A/B, docs/ARCHITECTURE.md): this dynamic form LOSES
+end-to-end (0.3915 vs 0.5301 f/s) — the int8 MXU win is real (1.64×
+measured on chained 8192³ matmuls; the quantized conv+matmul bucket drops
+422→258 ms/fwd) but per-step weight requantization inside the scan, the
+fusion-breaking per-token abs-max reduces and int8 tile relayouts cost
+~550 ms/fwd against the ~165 ms compute saving. Stays opt-in; the winning
+variant (per-chunk prequantized weights + static calibrated activation
+scales) needs real weights for calibration and is documented in the
+journal as future work.
 """
 
 from __future__ import annotations
