@@ -89,26 +89,45 @@ def main() -> None:
             return partial(net_with_params, p, film=film)
         return partial(net_with_params, p)
 
-    sample = jax.jit(
-        lambda p, noise, plan, cond, key: euler_edm_sample(
-            _net(p, cond), noise, plan, cond, key, num_frames=T
-        )
-    )
     def sync(x):
         # the axon relay's block_until_ready is unreliable; a host transfer
         # is the only trustworthy synchronization point
         return np.asarray(x)
 
-    # warmup/compile
-    z = sample(params, noise, plan, cond, key)
-    sync(z)
-    # distinct inputs defeat relay result-caching; min-of-N rejects relay jitter
-    t_denoise = float("inf")
-    for i in (1, 2):
-        t0 = time.perf_counter()
-        z = sample(params, noise, plan, cond, jax.random.PRNGKey(i))
+    if os.environ.get("SVC_QUANT") == "w8a8-static":
+        # static-calibrated W8A8: route through UNetDenoiser so the
+        # calibration pass (one bf16 trajectory + one batched calib forward,
+        # ops/quant.py) runs before the serving scan traces. Labelled run —
+        # the headline stays bf16.
+        from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+        den = UNetDenoiser(unet, params)
+        plan_host = make_sampling_plan(DDPMDiscretization(), STEPS)
+        z = den.sample(noise, plan_host, cond, key)  # calibrate + compile
         sync(z)
-        t_denoise = min(t_denoise, time.perf_counter() - t0)
+        t_denoise = float("inf")
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            z = den.sample(noise, plan_host, cond, jax.random.PRNGKey(i))
+            sync(z)
+            t_denoise = min(t_denoise, time.perf_counter() - t0)
+    else:
+        sample = jax.jit(
+            lambda p, noise, plan, cond, key: euler_edm_sample(
+                _net(p, cond), noise, plan, cond, key, num_frames=T
+            )
+        )
+        # warmup/compile
+        z = sample(params, noise, plan, cond, key)
+        sync(z)
+        # distinct inputs defeat relay result-caching; min-of-N rejects
+        # relay jitter
+        t_denoise = float("inf")
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            z = sample(params, noise, plan, cond, jax.random.PRNGKey(i))
+            sync(z)
+            t_denoise = min(t_denoise, time.perf_counter() - t0)
 
     # VAE decode (decoder only; synthetic weights)
     vae = AutoEncoderKL(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -285,16 +304,32 @@ def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-    pre = preprocess_basic(img, shorter=min(H, W))
-    plan = renderer.prepare(
-        pre,
-        preset_traj="orbit",
-        num_frames=num_frames,
-        zoom_factor=0.5,
-        chunk_strategy="interp-gt",
-        cfg=4.0,
-        num_steps=num_steps,
-    )
+
+    def make_plan(image, seed):
+        return renderer.prepare(
+            preprocess_basic(image, shorter=min(H, W)),
+            preset_traj="orbit",
+            num_frames=num_frames,
+            zoom_factor=0.5,
+            chunk_strategy="interp-gt",
+            cfg=4.0,
+            num_steps=num_steps,
+            seed=seed,
+        )
+
+    # Warmup run (untimed): compiles every shape bucket the schedule hits
+    # (first-pass T bucket, second-pass T=21 chunks, VAE decode). The
+    # baseline's "w/ compile" rows are steady-state numbers too — torch
+    # compiles once and the published walls exclude that warmup
+    # (docs/GR_USAGE.md:74). jit caches live on the bundle's appliers, so
+    # the timed run below reuses the compiled programs. The timed plan uses
+    # DIFFERENT pixels and seed (same shapes → same compiled buckets): the
+    # axon relay memoizes identical dispatches, so an identical re-run would
+    # time cache lookups, not the device.
+    warm = list(renderer.run(make_plan(img, seed=23)))
+    assert warm, "engine produced no output (warmup)"
+    img2 = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    plan = make_plan(img2, seed=24)
     t0 = time.perf_counter()
     videos = list(renderer.run(plan))
     total = time.perf_counter() - t0

@@ -307,8 +307,10 @@ def main(
         # Serving quantization (ops/quant.py). The flag is an env var because
         # the dispatch happens at trace time inside the model, like the
         # repo's other mode flags — it must be set before the first jit.
-        if str(quant) not in ("w8a8", "0"):
-            raise SystemExit(f"--quant must be 'w8a8' or '0', got {quant!r}")
+        if str(quant) not in ("w8a8", "w8a8-static", "0"):
+            raise SystemExit(
+                f"--quant must be 'w8a8', 'w8a8-static' or '0', got {quant!r}"
+            )
         os.environ["SVC_QUANT"] = str(quant)
     if platform is not None:
         # flip the backend BEFORE any device use. Gotcha on this stack: with

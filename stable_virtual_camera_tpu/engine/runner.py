@@ -17,6 +17,7 @@ TPU-native differences (by design, documented):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import os.path as osp
 from dataclasses import dataclass, field
@@ -75,6 +76,7 @@ class VaeApplier:
     def __init__(self, module: AutoEncoderKL, params, lowvram: bool = False):
         self.module = module
         self.params = _maybe_offload(params, lowvram)
+        self._enc_cache: dict[bytes, np.ndarray] = {}
         # params passed as jit args (not captured constants); view-chunking
         # happens INSIDE the program via lax.map so a whole batch is one
         # device dispatch (dispatch latency is expensive; SURVEY.md §5.7's
@@ -129,6 +131,32 @@ class VaeApplier:
     def encode(self, imgs: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
         return self._chunked(self._encode, self._encode_map, imgs, chunk_size)
 
+    def encode_cached(
+        self, imgs: np.ndarray, chunk_size: int | None = None
+    ) -> np.ndarray:
+        """`encode` with a per-frame content cache. Input and anchor frames
+        recur across chunks (an anchor conditions 2-4 second-pass chunks; the
+        reference re-encodes it each time, seva/eval.py:1245-1247) — hashing
+        the pixels (~5 ms/frame) replaces a device dispatch the relay charges
+        ~1 s for. Only frames not seen this scene are encoded, batched
+        together. SVC_COND_CACHE=0 disables; SceneEngine clears per scene."""
+        if os.environ.get("SVC_COND_CACHE", "1") == "0" or imgs.shape[0] == 0:
+            return self.encode(imgs, chunk_size)
+        cache = self._enc_cache
+        keys = [
+            hashlib.md5(np.ascontiguousarray(im).tobytes()).digest()
+            for im in imgs
+        ]
+        missing = [i for i, k in enumerate(keys) if k not in cache]
+        if missing:
+            lat = self.encode(np.stack([imgs[i] for i in missing]), chunk_size)
+            for j, i in enumerate(missing):
+                cache[keys[i]] = lat[j]
+        return np.stack([cache[k] for k in keys])
+
+    def clear_cache(self) -> None:
+        self._enc_cache.clear()
+
     def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
         return self._chunked(self._decode, self._decode_map, z, chunk_size)
 
@@ -179,6 +207,7 @@ class ClipApplier:
     def __init__(self, module: ClipVisionTower, params, lowvram: bool = False):
         self.module = module
         self.params = _maybe_offload(params, lowvram)
+        self._emb_cache: dict[bytes, np.ndarray] = {}
         size = module.spec.image_size
         self._embed = jax.jit(
             lambda p, x: module.apply({"params": p}, preprocess(x, size))
@@ -189,6 +218,27 @@ class ClipApplier:
         bucket = 1 << (n - 1).bit_length()  # shape-bucketed: see VaeApplier
         out = np.asarray(self._embed(self.params, jnp.asarray(_pad_to(imgs, bucket))))
         return out[:n]
+
+    def embed_cached(self, imgs: np.ndarray) -> np.ndarray:
+        """`embed` with a per-frame content cache (see VaeApplier.encode_cached
+        — the per-frame tower output is batch-independent, and the chunk mean
+        of cached rows equals the mean of a batched call)."""
+        if os.environ.get("SVC_COND_CACHE", "1") == "0" or imgs.shape[0] == 0:
+            return self.embed(imgs)
+        cache = self._emb_cache
+        keys = [
+            hashlib.md5(np.ascontiguousarray(im).tobytes()).digest()
+            for im in imgs
+        ]
+        missing = [i for i, k in enumerate(keys) if k not in cache]
+        if missing:
+            emb = self.embed(np.stack([imgs[i] for i in missing]))
+            for j, i in enumerate(missing):
+                cache[keys[i]] = emb[j]
+        return np.stack([cache[k] for k in keys])
+
+    def clear_cache(self) -> None:
+        self._emb_cache.clear()
 
 
 @dataclass
@@ -229,8 +279,8 @@ def build_chunk_conditioning(
     h, w = H // latent_downsample, W // latent_downsample
     mask = values.input_frame_mask
 
-    latents = bundle.vae.encode(values.imgs[mask], encoding_t)  # (Ti, h, w, 4)
-    clip_emb = bundle.clip.embed(values.imgs_clip[mask]).mean(0)  # (ctx,)
+    latents = bundle.vae.encode_cached(values.imgs[mask], encoding_t)  # (Ti,h,w,4)
+    clip_emb = bundle.clip.embed_cached(values.imgs_clip[mask]).mean(0)  # (ctx,)
 
     C = latents.shape[-1]
     replace_c = np.zeros((T, h, w, C + 1), np.float32)
@@ -248,18 +298,19 @@ def build_chunk_conditioning(
         guider_type, cfg, T, values.c2w, values.K, mask, cfg_min
     )
 
+    # HOST-built conditioning: CFG-doubling and zero-filling are numpy; the
+    # leaves transfer with the sampler's dispatch instead of paying 4-5
+    # eager device concatenates per chunk (the engine dispatch diet,
+    # docs/ARCHITECTURE.md round-3 journal).
+    plucker = np.asarray(values.plucker, np.float32)
     cond = ChunkConditioning(
-        crossattn=jnp.concatenate(
-            [jnp.zeros_like(jnp.asarray(crossattn_c)), jnp.asarray(crossattn_c)], 0
+        crossattn=np.concatenate(
+            [np.zeros_like(crossattn_c), crossattn_c], 0
         ),
-        concat=jnp.concatenate([jnp.asarray(concat_u), jnp.asarray(concat_c)], 0),
-        dense=jnp.concatenate(
-            [jnp.asarray(values.plucker), jnp.asarray(values.plucker)], 0
-        ),
-        replace=jnp.concatenate(
-            [jnp.zeros_like(jnp.asarray(replace_c)), jnp.asarray(replace_c)], 0
-        ),
-        scale=jnp.asarray(scale_vec),
+        concat=np.concatenate([concat_u, concat_c], 0).astype(np.float32),
+        dense=np.concatenate([plucker, plucker], 0),
+        replace=np.concatenate([np.zeros_like(replace_c), replace_c], 0),
+        scale=np.asarray(scale_vec, np.float32),
     )
     return cond, (T, h, w, C)
 
@@ -272,7 +323,10 @@ def sample_chunk(
     cfg: float,
     guider_type: int,
     cfg_min: float,
-    key: jax.Array,
+    key: jax.Array | None = None,
+    base_key: jax.Array | None = None,
+    pass_id: int = 0,
+    chunk_id: int = 0,
     encoding_t: int | None = None,
     decoding_t: int | None = None,
     latent_downsample: int = 8,
@@ -283,6 +337,13 @@ def sample_chunk(
 ) -> np.ndarray | None:
     """One chunk's conditioning + denoising + decode
     (reference seva/eval.py:1218-1321 `do_sample`).
+
+    Preferred key plumbing: `base_key` + (`pass_id`, `chunk_id`) — the
+    fold-ins, split and initial noise then run INSIDE the jitted sampling
+    program (UNetDenoiser.sample_from_key) — same op sequence as the eager
+    derivation (equal up to compile-variation ulps), four device dispatches
+    cheaper per chunk on the relay. Passing an already-folded `key` keeps
+    the legacy eager path.
 
     `defer=True` returns the decoded frames as a DEVICE array without host
     sync, so the caller can dispatch the next chunk while this one finishes
@@ -296,12 +357,19 @@ def sample_chunk(
         bundle, values, cfg=cfg, guider_type=guider_type, cfg_min=cfg_min,
         encoding_t=encoding_t, latent_downsample=latent_downsample,
     )
-    key_init, key_loop = jax.random.split(key)
-    noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
-    x = bundle.denoiser.sample(
-        noise, bundle.plan(num_steps), cond, key_loop,
-        progress_cb=progress_cb, abort_event=abort_event,
-    )
+    if base_key is not None:
+        x = bundle.denoiser.sample_from_key(
+            (T, h, w, C), bundle.plan(num_steps), cond, base_key,
+            np.array([pass_id, chunk_id], np.int32),
+            progress_cb=progress_cb, abort_event=abort_event,
+        )
+    else:
+        key_init, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
+        x = bundle.denoiser.sample(
+            noise, bundle.plan(num_steps), cond, key_loop,
+            progress_cb=progress_cb, abort_event=abort_event,
+        )
     if x is None:
         return None
     # decode consumes the denoiser's device array directly (no re-upload)
@@ -446,6 +514,10 @@ class SceneEngine:
         bundle = self.bundle
         T = version.T
         F = version.f
+        # per-frame conditioning caches are scene-scoped (bounded memory;
+        # a server bundle serves many scenes — see encode_cached)
+        bundle.vae.clear_cache()
+        bundle.clip.clear_cache()
 
         camera_cond = dict(camera_cond)
         camera_cond["K"] = [np.asarray(k) for k in camera_cond["K"]]
@@ -586,7 +658,9 @@ class SceneEngine:
                     cfg=_cfg_at(cfg_opt, 0),
                     guider_type=guiders[0],
                     cfg_min=cfg_min,
-                    key=jax.random.fold_in(jax.random.fold_in(base_key, 0), i),
+                    base_key=base_key,
+                    pass_id=0,
+                    chunk_id=i,
                     encoding_t=enc_t,
                     decoding_t=dec_t,
                     latent_downsample=F,
@@ -710,7 +784,9 @@ class SceneEngine:
                     cfg=_cfg_at(cfg_opt, 0),
                     guider_type=g,
                     cfg_min=cfg_min,
-                    key=jax.random.fold_in(jax.random.fold_in(base_key, 1), i),
+                    base_key=base_key,
+                    pass_id=1,
+                    chunk_id=i,
                     encoding_t=enc_t,
                     decoding_t=dec_t,
                     latent_downsample=F,
@@ -885,7 +961,9 @@ class SceneEngine:
                     cfg=cfg2,
                     guider_type=guider2,
                     cfg_min=cfg_min,
-                    key=chunk_key(i),
+                    base_key=base_key,
+                    pass_id=2,
+                    chunk_id=i,
                     encoding_t=enc_t,
                     decoding_t=dec_t,
                     latent_downsample=F,

@@ -33,12 +33,20 @@ import jax
 import jax.numpy as jnp
 
 from stable_virtual_camera_tpu.config import SevaSpec
-from stable_virtual_camera_tpu.models.common import ConvParams, DenseParams
+from stable_virtual_camera_tpu.models.common import (
+    ConvParams,
+    DenseParams,
+    QuantSite,
+)
 from stable_virtual_camera_tpu.ops.attention import sdpa_packed
 from stable_virtual_camera_tpu.ops.norms import group_norm_nhwc
 from stable_virtual_camera_tpu.ops.quant import (
+    W8A8_MODES,
+    quant_mode,
     quantized_conv,
+    quantized_conv_static,
     quantized_dense,
+    quantized_dense_static,
     w8a8_enabled,
 )
 from stable_virtual_camera_tpu.ops.resize import (
@@ -63,19 +71,30 @@ class _ShapeOnly:
 def quant_dense(n: int, name: str, *, dtype, param_dtype, use_bias: bool = True):
     """nn.Dense, or its W8A8 int8 equivalent under the same checkpoint naming
     (serving mode, ops/quant.py). Returns a callable; the quantized branch's
-    DenseParams submodule binds to the caller's compact scope."""
-    if w8a8_enabled():
+    DenseParams/QuantSite submodules bind to the caller's compact scope.
+
+    Modes: "w8a8" quantizes both operands dynamically in the forward;
+    "w8a8-static" consumes the prequantized kernel + calibrated activation
+    scale from the "quant" collection; "w8a8-calib" runs the exact bf16
+    matmul while the QuantSite records calibration state."""
+    mode = quant_mode()
+    if mode in W8A8_MODES:
         def apply(t):
             p = DenseParams(
                 (t.shape[-1], n), use_bias=use_bias, param_dtype=param_dtype,
                 name=name,
             )()
-            return quantized_dense(
-                t.astype(dtype),
-                p[0].astype(dtype),
-                p[1] if use_bias else None,
-                out_dtype=dtype,
-            )
+            b = p[1] if use_bias else None
+            t_ = t.astype(dtype)
+            if mode == "w8a8":
+                return quantized_dense(
+                    t_, p[0].astype(dtype), b, out_dtype=dtype
+                )
+            qs = QuantSite((0,), name=f"{name}_qsite")(p[0], t_)
+            if qs is None:  # calibration: exact math, stats recorded
+                y = t_ @ p[0].astype(dtype)
+                return y if b is None else y + b.astype(dtype)
+            return quantized_dense_static(t_, *qs, bias=b, out_dtype=dtype)
 
         return apply
     return nn.Dense(
@@ -88,16 +107,29 @@ def quant_conv(
     strides: tuple[int, int] = (1, 1),
 ):
     """SAME-padded k×k nn.Conv, or its W8A8 int8 equivalent under the same
-    checkpoint naming (serving mode, ops/quant.py)."""
+    checkpoint naming (serving mode, ops/quant.py; modes as quant_dense)."""
     pad = [(k // 2, k // 2)] * 2
-    if w8a8_enabled():
+    mode = quant_mode()
+    if mode in W8A8_MODES:
         def apply(t):
             w, b = ConvParams(
                 (k, k, t.shape[-1], n), param_dtype=param_dtype, name=name
             )()
-            return quantized_conv(
-                t.astype(dtype), w.astype(dtype), b,
-                strides=strides, padding=pad, out_dtype=dtype,
+            t_ = t.astype(dtype)
+            if mode == "w8a8":
+                return quantized_conv(
+                    t_, w.astype(dtype), b,
+                    strides=strides, padding=pad, out_dtype=dtype,
+                )
+            qs = QuantSite((0, 1, 2), name=f"{name}_qsite")(w, t_)
+            if qs is None:
+                y = jax.lax.conv_general_dilated(
+                    t_, w.astype(dtype), window_strides=strides,
+                    padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return y + b.astype(dtype)
+            return quantized_conv_static(
+                t_, *qs, bias=b, strides=strides, padding=pad, out_dtype=dtype
             )
 
         return apply
@@ -327,16 +359,27 @@ class Attention(nn.Module):
                     x.shape[-1], 3, self.heads, self.dim_head
                 )
                 xq = x.astype(self.dtype)
-                if w8a8_enabled():
+                mode = quant_mode()
+                site_qkv = (
+                    QuantSite((0,), name="qkv_qsite")(w_qkv, xq)
+                    if mode in ("w8a8-static", "w8a8-calib")
+                    else None
+                )
+                if mode == "w8a8" or site_qkv is not None:
                     # int8 projection, then one explicit (B,L,3,H,D) ->
                     # (3,B,H,L,D) layout copy into the kernel's layout (the
                     # bf16 path gets it free from the GEMM epilogue; int8
                     # MXU output is (rows, cols) so the copy is real, ~0.5 ms
                     # at ds1 against the 2x matmul-rate win).
                     B_, L_, C_ = xq.shape
-                    qkv = quantized_dense(
-                        xq, w_qkv.astype(self.dtype), out_dtype=self.dtype
-                    )
+                    if site_qkv is not None:
+                        qkv = quantized_dense_static(
+                            xq, *site_qkv, out_dtype=self.dtype
+                        )
+                    else:
+                        qkv = quantized_dense(
+                            xq, w_qkv.astype(self.dtype), out_dtype=self.dtype
+                        )
                     qkv = qkv.reshape(
                         B_, L_, 3, self.heads, self.dim_head
                     ).transpose(2, 0, 3, 1, 4)
@@ -365,7 +408,20 @@ class Attention(nn.Module):
                     param_dtype=self.param_dtype,
                     name="to_out",
                 )()
-                if w8a8_enabled():
+                if mode in ("w8a8-static", "w8a8-calib"):
+                    o2 = o.transpose(0, 2, 1, 3).reshape(
+                        o.shape[0], o.shape[2], inner
+                    )
+                    site_out = QuantSite((0,), name="to_out_qsite")(w_out, o2)
+                    if site_out is not None:
+                        return quantized_dense_static(
+                            o2, *site_out, bias=b_out, out_dtype=self.dtype
+                        )
+                    # calibration: exact matmul on the same operands
+                    return o2 @ w_out.astype(self.dtype) + b_out.astype(
+                        self.dtype
+                    )
+                if mode == "w8a8":
                     o2 = o.transpose(0, 2, 1, 3).reshape(
                         o.shape[0], o.shape[2], inner
                     )
@@ -719,13 +775,21 @@ class Upsample(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )()
+        mode = quant_mode()
         return upsample_2x_conv3x3(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             bias,
             # UNet upsamples join the W8A8 conv family; the VAE's calls keep
-            # the default exact path (models/vae.py)
+            # the default exact path (models/vae.py). The static site
+            # quantizes the REARRANGED kernel (built inside the op), so it
+            # is created here and invoked there.
             quant=w8a8_enabled(),
+            static_site=(
+                QuantSite((0, 1, 2), name="conv_qsite")
+                if mode in ("w8a8-static", "w8a8-calib")
+                else None
+            ),
         )
 
 

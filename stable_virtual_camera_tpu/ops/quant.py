@@ -48,15 +48,26 @@ end-to-end (0.3915 vs 0.5301 f/s) — the int8 MXU win is real (1.64×
 measured on chained 8192³ matmuls; the quantized conv+matmul bucket drops
 422→258 ms/fwd) but per-step weight requantization inside the scan, the
 fusion-breaking per-token abs-max reduces and int8 tile relayouts cost
-~550 ms/fwd against the ~165 ms compute saving. Stays opt-in; the winning
-variant (per-chunk prequantized weights + static calibrated activation
-scales) needs real weights for calibration and is documented in the
-journal as future work.
+~550 ms/fwd against the ~165 ms compute saving.
+
+STATIC variant (`SVC_QUANT=w8a8-static`) — the winning form the dynamic
+A/B pointed at: weights are prequantized ONCE (outside the sigma scan,
+stored in a flax "quant" collection next to the untouched params tree) and
+activations use per-tensor scales calibrated on a short bf16 sampling
+trajectory (`UNetDenoiser.ensure_quant_calibrated`). Inside the scan the
+activation quantization is `clip(round(x * const))` — no reduce, fuses
+into the producer epilogue — and the weights arrive already int8, so both
+measured overheads of the dynamic form are structurally gone. Accuracy:
+per-tensor static scales are coarser than per-token dynamic ones and
+out-of-range activations saturate; calibration on real chunks (the engine
+calibrates on the scene's own first chunk) keeps that honest, and
+PSNR/LPIPS gating goes through benchmark/run_eval.py like every mode.
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -67,18 +78,68 @@ _QMAX = 127.0
 _MIN_SCALE = 1e-8
 
 
+_MODE_OVERRIDE: str | None = None
+
+W8A8_MODES = ("w8a8", "w8a8-static", "w8a8-calib")
+
+
 def quant_mode() -> str:
-    """Serving quantization mode: "0" (off, default) | "w8a8".
+    """Serving quantization mode:
+    "0" (off, default) | "w8a8" (dynamic) | "w8a8-static" (calibrated) |
+    "w8a8-calib" (calibration pass: exact bf16 math + stat recording).
 
     Read at TRACE time like the repo's other dispatch flags (SVC_GELU_MODE,
     SVC_FLASH_V2): set it before the first jitted call of the process; a
     cached executable keeps the mode it was traced with.
     """
+    if _MODE_OVERRIDE is not None:
+        return _MODE_OVERRIDE
     return os.environ.get("SVC_QUANT", "0")
+
+
+@contextmanager
+def force_mode(mode: str):
+    """Trace-scoped mode override. The calibration machinery traces a bf16
+    capture scan and a calib forward inside one process whose env says
+    `w8a8-static`; wrapping each trace (the first call of its jit) in
+    `force_mode` pins the mode those programs bake in."""
+    global _MODE_OVERRIDE
+    prev = _MODE_OVERRIDE
+    _MODE_OVERRIDE = mode
+    try:
+        yield
+    finally:
+        _MODE_OVERRIDE = prev
 
 
 def w8a8_enabled() -> bool:
     return quant_mode() == "w8a8"
+
+
+def is_variables_dict(params) -> bool:
+    """True if `params` is a {"params", "quant"} variables dict (static-W8A8
+    serving state travels WITH the params pytree so every existing
+    jit/sharding/donation path moves both trees unchanged)."""
+    return (
+        isinstance(params, dict)
+        and len(params) == 2
+        and "params" in params
+        and "quant" in params
+    )
+
+
+def as_variables(params) -> dict:
+    """Wrap a bare params tree as flax variables; pass a {"params","quant"}
+    dict through unchanged."""
+    return params if is_variables_dict(params) else {"params": params}
+
+
+def static_enabled() -> bool:
+    return quant_mode() == "w8a8-static"
+
+
+def calib_enabled() -> bool:
+    return quant_mode() == "w8a8-calib"
 
 
 def _quantize(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -171,3 +232,74 @@ def quantized_dense(
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype).reshape(*lead, kernel.shape[-1])
+
+
+# --- static (calibrated) W8A8 -------------------------------------------
+#
+# The activation scale is a per-tensor CONSTANT (calibrated abs-max), so
+# quantization is round/clip/convert with no reduce — XLA fuses it into the
+# producing op's epilogue — and the weights arrive already int8 (quantized
+# once at calibration, stored in the "quant" flax collection), so nothing
+# is requantized inside the sigma scan. These two properties remove exactly
+# the ~550 ms/fwd of overhead the dynamic-form TPU A/B measured.
+
+
+def quantize_static(x: jnp.ndarray, ax: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 with a CONSTANT per-tensor scale from the calibrated
+    abs-max `ax` (scalar). Out-of-range activations saturate at ±127."""
+    s = jnp.maximum(ax.astype(jnp.float32), _MIN_SCALE) / _QMAX
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -_QMAX, _QMAX).astype(
+        jnp.int8
+    )
+    return q, s
+
+
+def quantized_dense_static(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    ws: jnp.ndarray,
+    ax: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """y = x @ wq (+ bias), int8 x int8 -> int32 MXU, with a prequantized
+    kernel (`wq` int8, `ws` per-output-channel fp32 scales shaped (1, C_out))
+    and a calibrated per-tensor activation abs-max `ax`."""
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    xq, sx = quantize_static(x.reshape(-1, x.shape[-1]), ax)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * (sx * ws)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype).reshape(*lead, wq.shape[-1])
+
+
+def quantized_conv_static(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    ws: jnp.ndarray,
+    ax: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    strides: tuple[int, int] = (1, 1),
+    padding=((1, 1), (1, 1)),
+    out_dtype=None,
+) -> jnp.ndarray:
+    """NHWC conv with a prequantized HWIO int8 kernel (`ws` shaped
+    (1, 1, 1, C_out)) and a calibrated per-tensor activation abs-max."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize_static(x, ax)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * ws)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)

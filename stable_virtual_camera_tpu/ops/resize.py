@@ -62,7 +62,11 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample_2x_conv3x3(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, quant: bool = False
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    quant: bool = False,
+    static_site=None,
 ) -> jnp.ndarray:
     """nearest-2x upsample followed by a 3x3 SAME conv, computed as a LOW-RES
     3x3 conv with 4x-wide output channels + depth-to-space (pixel shuffle).
@@ -94,10 +98,30 @@ def upsample_2x_conv3x3(
                     w2 = w2.at[taps[di][ki] + 1, taps[dj][kj] + 1, :, o].add(
                         kernel[ki, kj]
                     )
-    if quant:
-        # W8A8 serving path (ops/quant.py): quantize the REARRANGED kernel —
-        # its 4*c_out columns map 1:1 to output channels, so per-output-
-        # channel scales stay exact through the pixel shuffle.
+    if static_site is not None:
+        # static W8A8 (ops/quant.py): the QuantSite (created by the caller
+        # under its flax scope) holds/records quantization of the REARRANGED
+        # kernel — its 4*c_out columns map 1:1 to output channels, so
+        # per-output-channel scales stay exact through the pixel shuffle.
+        from stable_virtual_camera_tpu.ops.quant import quantized_conv_static
+
+        qs = static_site(w2.reshape(3, 3, c, 4 * c_out), x)
+        if qs is None:  # calibration: exact conv
+            y = jax.lax.conv_general_dilated(
+                x,
+                w2.reshape(3, 3, c, 4 * c_out),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = quantized_conv_static(
+                x, *qs, bias=None, strides=(1, 1), padding=[(1, 1), (1, 1)],
+                out_dtype=x.dtype,
+            )
+    elif quant:
+        # dynamic W8A8 serving path (ops/quant.py): same rearranged-kernel
+        # quantization, scales computed in the forward.
         from stable_virtual_camera_tpu.ops.quant import quantized_conv
 
         y = quantized_conv(

@@ -261,9 +261,14 @@ def euler_edm_step(
     cond: ChunkConditioning,
     step_key: jax.Array,
     num_frames: int,
+    return_net_in: bool = False,
 ) -> jnp.ndarray:
     """One churned Euler step (reference seva/sampling.py:347-368 with the
-    DiscreteDenoiser preconditioning of seva/sampling.py:133-152)."""
+    DiscreteDenoiser preconditioning of seva/sampling.py:133-152).
+
+    `return_net_in=True` additionally returns the (preconditioned latent,
+    t_vec) the network consumed — the static-W8A8 calibration capture
+    (`UNetDenoiser.ensure_quant_calibrated`)."""
     T = num_frames
     sigma_hat_raw, sigma_hat_quant, t_idx, sigma_next, noise_coeff = per_step
     rep_lat, rep_mask = jnp.split(cond.replace, [x.shape[-1]], axis=-1)
@@ -279,14 +284,53 @@ def euler_edm_step(
 
     c_in = jax.lax.rsqrt(sigma_hat_quant**2 + 1.0)
     t_vec = jnp.full((2 * T,), t_idx, jnp.int32)
-    out = network_fn(xin * c_in, cond.concat, t_vec, cond.crossattn, cond.dense, T)
+    net_x = xin * c_in
+    out = network_fn(net_x, cond.concat, t_vec, cond.crossattn, cond.dense, T)
     denoised = out * (-sigma_hat_quant) + xin  # c_out, c_skip (EpsScaling)
 
     uncond, condit = jnp.split(denoised, 2, axis=0)
     denoised = uncond + scale * (condit - uncond)
 
     d = (x - denoised) / sigma_hat_raw
-    return x + (sigma_next - sigma_hat_raw) * d
+    x_next = x + (sigma_next - sigma_hat_raw) * d
+    if return_net_in:
+        return x_next, (net_x, t_vec)
+    return x_next
+
+
+def euler_edm_capture(
+    network_fn: NetworkFn,
+    noise: jnp.ndarray,
+    plan_arrays: dict[str, jnp.ndarray],
+    cond: ChunkConditioning,
+    key: jax.Array,
+    num_frames: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`euler_edm_sample` that also stacks every step's network inputs:
+    returns (net_x (n, 2T, h, w, 4), t_vecs (n, 2T)). Used by the
+    static-W8A8 calibration to observe the exact activation trajectory the
+    serving scan will run (ops/quant.py)."""
+    T = num_frames
+    x = noise * plan_arrays["init_scale"]
+    schedule = (
+        plan_arrays["sigma_hat_raw"],
+        plan_arrays["sigma_hat_quant"],
+        plan_arrays["t_indices"],
+        plan_arrays["sigma_next"],
+        plan_arrays["noise_coeff"],
+    )
+
+    def step(carry, per_step):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        x, net_in = euler_edm_step(
+            network_fn, x, per_step, cond, sub, num_frames=T,
+            return_net_in=True,
+        )
+        return (x, key), net_in
+
+    _, (net_xs, t_vecs) = jax.lax.scan(step, (x, key), schedule)
+    return net_xs, t_vecs
 
 
 def film_cache_enabled() -> bool:
@@ -306,6 +350,22 @@ def plan_to_device(plan: SamplingPlan) -> dict[str, jnp.ndarray]:
         "sigma_next": jnp.asarray(plan.sigma_next),
         "noise_coeff": jnp.asarray(plan.noise_coeff),
         "init_scale": jnp.asarray(plan.init_scale, jnp.float32),
+    }
+
+
+def plan_as_host(plan: SamplingPlan) -> dict[str, np.ndarray]:
+    """The SamplingPlan as plain HOST arrays with the same treedef as
+    `plan_to_device`. Passing these straight into a jitted call transfers
+    them with the dispatch instead of paying one eager device op per field
+    (six per chunk on the relay — the engine dispatch diet, round-3
+    journal)."""
+    return {
+        "sigma_hat_raw": plan.sigma_hat_raw,
+        "sigma_hat_quant": plan.sigma_hat_quant,
+        "t_indices": plan.t_indices,
+        "sigma_next": plan.sigma_next,
+        "noise_coeff": plan.noise_coeff,
+        "init_scale": np.float32(plan.init_scale),
     }
 
 
@@ -411,12 +471,14 @@ class UNetDenoiser:
     ):
         from stable_virtual_camera_tpu.models.unet import assemble_network_input
 
+        from stable_virtual_camera_tpu.ops.quant import as_variables
+
         net_in = assemble_network_input(x, concat)
         # film only as an explicit kwarg: test doubles for the network don't
         # speak the FiLM-cache protocol
         kwargs = {} if film is None else {"film": film}
         return self.unet.apply(
-            {"params": params},
+            as_variables(params),
             net_in,
             t_vec,
             crossattn,
@@ -459,8 +521,10 @@ class UNetDenoiser:
             # dummy network modules in tests don't implement the film_only
             # walk; the cache is a SevaUNet-specific protocol
             return partial(self.network_with_params, params)
+        from stable_virtual_camera_tpu.ops.quant import as_variables
+
         film = self.unet.apply(
-            {"params": params},
+            as_variables(params),
             None,
             None,
             None,
@@ -469,6 +533,90 @@ class UNetDenoiser:
             film_only=True,
         )
         return partial(self.network_with_params, params, film=film)
+
+    def ensure_quant_calibrated(
+        self,
+        shape: tuple[int, int, int, int],
+        plan: SamplingPlan,
+        cond: ChunkConditioning,
+        num_points: int = 6,
+    ) -> None:
+        """Static-W8A8 calibration (ops/quant.py). Under `SVC_QUANT=
+        w8a8-static`, before the first serving program traces: run ONE bf16
+        sampling trajectory on this chunk's own conditioning (the serving
+        schedule, exact math), capture every step's network inputs on
+        device, and push `num_points` steps spread over the schedule through
+        the UNet in calibration mode (mutable "quant" collection) — one
+        serving-sized forward per point (peak activation memory stays at
+        serving scale), per-point collections max-merged in one jitted
+        reduce. The frozen collection — prequantized int8 weights +
+        per-site activation abs-max — then travels with `self.params` as a
+        {"params","quant"} variables dict through every existing
+        jit/sharding path. No-op in all other modes; idempotent.
+
+        Cost: one extra denoise trajectory + K serving-sized forwards, paid
+        once per process (two extra compiles). Calibrating on the scene's
+        first real chunk keeps the scales honest for that scene family."""
+        from stable_virtual_camera_tpu.ops.quant import (
+            force_mode,
+            is_variables_dict,
+            static_enabled,
+        )
+
+        if not static_enabled() or is_variables_dict(self.params):
+            return
+        from stable_virtual_camera_tpu.models.unet import (
+            assemble_network_input,
+        )
+
+        T, h, w, C = shape
+        raw = self.params
+        key = jax.random.PRNGKey(0)
+        with force_mode("0"):
+            capture = jax.jit(
+                lambda p, noise, plan_arrays, c, k: euler_edm_capture(
+                    partial(self.network_with_params, p),
+                    noise, plan_arrays, c, k, num_frames=T,
+                )
+            )
+            noise = jax.random.normal(key, (T, h, w, C), jnp.float32)
+            net_xs, t_vecs = capture(raw, noise, plan_as_host(plan), cond, key)
+        n = plan.num_steps
+        idx = np.unique(
+            np.linspace(0, n - 1, min(num_points, n)).round().astype(np.int32)
+        )
+        with force_mode("w8a8-calib"):
+
+            def calib_step(p, xs, tv, concat, ca, de, k, _T=T):
+                x_k = jax.lax.dynamic_index_in_dim(xs, k, 0, keepdims=False)
+                t_k = jax.lax.dynamic_index_in_dim(tv, k, 0, keepdims=False)
+                ni = assemble_network_input(x_k, concat)
+                return self.unet.apply(
+                    {"params": p}, ni, t_k, ca, de, num_frames=_T,
+                    mutable=["quant"],
+                )[1]["quant"]
+
+            calib = jax.jit(calib_step)
+            concat = jnp.asarray(cond.concat)
+            ca = jnp.asarray(cond.crossattn)
+            de = jnp.asarray(cond.dense)
+            trees = [
+                calib(raw, net_xs, t_vecs, concat, ca, de, jnp.int32(k))
+                for k in idx
+            ]
+        # wq/ws are weight-only (identical across points): keep the first;
+        # ax is the running abs-max: elementwise max across points.
+        merge = jax.jit(
+            lambda ts: jax.tree_util.tree_map(
+                lambda *xs: (
+                    xs[0]
+                    if xs[0].dtype == jnp.int8
+                    else jnp.stack(xs).max(0)
+                ),
+                *ts,
+            )
+        )
+        self.params = {"params": raw, "quant": merge(trees)}
 
     def sample(
         self,
@@ -492,6 +640,7 @@ class UNetDenoiser:
         (SVC_STEPWISE_SAMPLER=1). Returns None if aborted.
         """
         T, h, w, _ = noise.shape
+        self.ensure_quant_calibrated(noise.shape, plan, cond)
         # NB: params flow in as a jit argument (never as captured constants —
         # capturing a 1.3B tree as literals bloats compilation catastrophically).
         def _scan_plain():
@@ -611,6 +760,171 @@ class UNetDenoiser:
                 return None
         return x
 
+    def _jit_keyed(self, fn, T: int, n_extra_scalars: int = 0):
+        """jit `fn(params, plan_arrays, cond, base_key, pass_chunk, ...)`
+        with view shardings when the mesh applies to this T (the keyed
+        twin of `_maybe_shard`; noise is derived inside the program)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        n_view = self.mesh.shape.get("view", 1)
+        if T % n_view != 0:
+            if T not in self._warned_unsharded:
+                self._warned_unsharded.add(T)
+                print(
+                    f"[sampler] WARNING: T={T} does not divide the mesh view "
+                    f"axis ({n_view}); this shape bucket runs UNSHARDED on "
+                    f"one device"
+                )
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        vs = lambda rank: NamedSharding(  # noqa: E731
+            mesh, P("view", *([None] * (rank - 1)))
+        )
+        scalar = NamedSharding(mesh, P())
+        if mesh.shape.get("model", 1) > 1:
+            from stable_virtual_camera_tpu.parallel.param_sharding import (
+                tree_shardings,
+            )
+
+            params_sh = tree_shardings(self.params, mesh, "model")
+        else:
+            params_sh = jax.tree_util.tree_map(lambda _: scalar, self.params)
+        cond_sh = ChunkConditioning(
+            crossattn=vs(3), concat=vs(4), dense=vs(4), replace=vs(4), scale=vs(1)
+        )
+        plan_sh = {
+            k: scalar
+            for k in (
+                "sigma_hat_raw", "sigma_hat_quant", "t_indices",
+                "sigma_next", "noise_coeff", "init_scale",
+            )
+        }
+        in_sh = (params_sh, plan_sh, cond_sh, scalar, scalar) + (
+            (scalar,) * n_extra_scalars
+        )
+        return jax.jit(fn, in_shardings=in_sh, out_shardings=vs(4))
+
+    def sample_from_key(
+        self,
+        shape: tuple[int, int, int, int],
+        plan: SamplingPlan,
+        cond: ChunkConditioning,
+        base_key: jax.Array,
+        pass_chunk,
+        progress_cb=None,
+        abort_event=None,
+    ) -> jnp.ndarray | None:
+        """`sample`, but with EVERY per-chunk PRNG op inside the jitted
+        program: chunk key = fold_in(fold_in(base_key, pass_id), chunk_id),
+        the init/loop split and the initial normal noise are traced — the
+        exact op sequence the eager path runs (threefry is deterministic;
+        the derived noise/keys are bitwise equal), so results match the
+        eager path up to compile-variation ulps (the same pattern
+        `sample_many` uses). On dispatch-expensive backends (the axon
+        relay charges ~0.5-1 s per eager device op) this deletes four eager
+        dispatches per chunk; `pass_chunk` is a (2,) int32 host array
+        [pass_id, chunk_id], traced (not static), so one compiled program
+        serves every chunk of a pass.
+
+        An AOT artifact pinned for this bucket is composed INSIDE the keyed
+        program (`Exported.call` is traceable): the serialized scan still
+        runs bit-identically, wrapped by the traced key/noise derivation."""
+        T, h, w, C = shape
+        self.ensure_quant_calibrated(shape, plan, cond)
+        plan_host = plan_as_host(plan)
+        pass_chunk = np.asarray(pass_chunk, np.int32)
+
+        def _derive(pkey, pc):
+            key = jax.random.fold_in(jax.random.fold_in(pkey, pc[0]), pc[1])
+            key_init, key_loop = jax.random.split(key)
+            noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
+            return noise, key_loop
+
+        def _scan_keyed():
+            bucket = ("scank", T, h, w, plan.num_steps)
+            if bucket not in self._jitted:
+                scan_bucket = ("scan", T, h, w, plan.num_steps)
+                inner = (
+                    self.artifacts[scan_bucket].call
+                    if scan_bucket in self.artifacts
+                    else self.make_scan_fn(T)
+                )
+
+                def run(params, plan_arrays, cond, pkey, pc):
+                    noise, key_loop = _derive(pkey, pc)
+                    return inner(params, noise, plan_arrays, cond, key_loop)
+
+                self._jitted[bucket] = self._jit_keyed(run, T)
+            return self._jitted[bucket](
+                self.params, plan_host, cond, base_key, pass_chunk
+            )
+
+        if progress_cb is None and abort_event is None:
+            return _scan_keyed()
+
+        stepwise = os.environ.get("SVC_STEPWISE_SAMPLER", "0") == "1"
+        sharded = self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
+        pinned = ("scan", T, h, w, plan.num_steps) in self.artifacts
+        use_in_scan = (
+            not stepwise and not sharded and not pinned and io_callback_supported()
+        )
+        if use_in_scan:
+            bucket = ("scank-tracked", T, h, w, plan.num_steps)
+            if bucket not in self._jitted:
+
+                def run_tracked(params, plan_arrays, cond, pkey, pc, handle, _T=T):
+                    noise, key_loop = _derive(pkey, pc)
+                    return euler_edm_sample(
+                        self._bound_network(params, cond, _T),
+                        noise,
+                        plan_arrays,
+                        cond,
+                        key_loop,
+                        num_frames=_T,
+                        tick_handle=handle,
+                    )
+
+                self._jitted[bucket] = self._jit_keyed(
+                    run_tracked, T, n_extra_scalars=1
+                )
+            handle = register_tick(progress_cb, abort_event)
+            try:
+                x = self._jitted[bucket](
+                    self.params, plan_host, cond, base_key, pass_chunk,
+                    jnp.int32(handle),
+                )
+                x.block_until_ready()
+            finally:
+                unregister_tick(handle)
+            if abort_event is not None and abort_event.is_set():
+                return None
+            return x
+
+        if not stepwise:
+            # coarse-progress fallback: single dispatch, chunk-granular ticks
+            if abort_event is not None and abort_event.is_set():
+                return None
+            x = _scan_keyed()
+            x.block_until_ready()
+            if abort_event is not None and abort_event.is_set():
+                return None
+            if progress_cb is not None:
+                progress_cb(plan.num_steps, plan.num_steps)
+            return x
+
+        # stepwise debug path: derive eagerly and reuse the noise-arg loop
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, int(pass_chunk[0])), int(pass_chunk[1])
+        )
+        key_init, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
+        return self.sample(
+            noise, plan, cond, key_loop,
+            progress_cb=progress_cb, abort_event=abort_event,
+        )
+
     def sample_many(self, keys, plan, conds, latent_shape):
         """Denoise N independent chunks in ONE program, vmapped over the
         chunk axis and — when the mesh has a 'data' axis that divides N —
@@ -626,6 +940,13 @@ class UNetDenoiser:
         Returns (N, T, h, w, C) denoised latents (device array)."""
         T, h, w, C = latent_shape
         N = keys.shape[0]
+        from stable_virtual_camera_tpu.ops.quant import static_enabled
+
+        if static_enabled():
+            self.ensure_quant_calibrated(
+                latent_shape, plan,
+                jax.tree_util.tree_map(lambda a: a[0], conds),
+            )
         bucket = ("dp", N, T, h, w, plan.num_steps)
         if bucket not in self._jitted:
 

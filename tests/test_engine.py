@@ -226,3 +226,34 @@ def test_l_short_resizing(bundle, tmp_path):
     # 96x128 with shorter side -> 64 (stride 64): W = 128*64/96=85 -> snaps 64
     assert version.H == 64
     assert version.W % 64 == 0
+
+
+def test_conditioning_caches_match_uncached(bundle):
+    """encode_cached/embed_cached return what encode/embed return (same
+    values up to compile-variation ulps from batch regrouping), hit the
+    cache on repeats, and reset with clear_cache."""
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(-1, 1, size=(5, 64, 64, 3)).astype(np.float32)
+
+    bundle.vae.clear_cache()
+    ref = bundle.vae.encode(imgs)
+    got = bundle.vae.encode_cached(imgs)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert len(bundle.vae._enc_cache) == 5
+    # repeat in a different order with one new frame: only the new one misses
+    re = bundle.vae.encode_cached(imgs[[3, 1, 4, 0, 2]])
+    np.testing.assert_allclose(re, got[[3, 1, 4, 0, 2]], rtol=0, atol=0)
+    extra = rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32)
+    both = bundle.vae.encode_cached(np.concatenate([imgs[:2], extra], 0))
+    np.testing.assert_array_equal(both[:2], got[:2])
+    assert len(bundle.vae._enc_cache) == 6
+    bundle.vae.clear_cache()
+    assert len(bundle.vae._enc_cache) == 0
+
+    clip_imgs = rng.uniform(0, 1, size=(3, 64, 64, 3)).astype(np.float32)
+    bundle.clip.clear_cache()
+    ref_e = bundle.clip.embed(clip_imgs)
+    got_e = bundle.clip.embed_cached(clip_imgs)
+    np.testing.assert_allclose(got_e, ref_e, rtol=1e-5, atol=1e-5)
+    re_e = bundle.clip.embed_cached(clip_imgs[[2, 0]])
+    np.testing.assert_array_equal(re_e, got_e[[2, 0]])

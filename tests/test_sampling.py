@@ -412,3 +412,91 @@ def test_denoiser_coarse_fallback_single_dispatch(rng, monkeypatch):
     ev = threading.Event()
     ev.set()
     assert den.sample(noise, plan, cond, key, abort_event=ev) is None
+
+
+def test_sample_from_key_matches_eager_derivation(rng):
+    """The engine dispatch diet: sample_from_key folds the chunk key, splits
+    and draws the initial noise INSIDE the jitted program. Must be bitwise
+    identical to the eager derivation + sample(noise, ...) path."""
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            tt = (t_vec.astype(jnp.float32) / 1000.0)[:, None, None, None]
+            return (
+                0.1 * jnp.tanh(net_in[..., :4])
+                + 0.03 * tt
+                + 0.05 * net_in[..., 4:5]
+                + variables["params"]["w"]
+            )
+
+    T, h, w, n = 3, 4, 4, 6
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    plan = make_sampling_plan(DDPMDiscretization(), n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    base_key = jax.random.PRNGKey(23)
+
+    for pass_id, chunk_id in [(0, 0), (1, 2), (2, 7)]:
+        # the eager reference derivation (what the engine used to run)
+        key = jax.random.fold_in(jax.random.fold_in(base_key, pass_id), chunk_id)
+        key_init, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_init, (T, h, w, 4), jnp.float32)
+        ref_x = den.sample(noise, plan, cond, key_loop)
+
+        got = den.sample_from_key(
+            (T, h, w, 4), plan, cond, base_key,
+            np.array([pass_id, chunk_id], np.int32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref_x), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_sample_from_key_tracked_and_coarse(rng, monkeypatch):
+    """Progress/abort work through the keyed path too: in-scan ticks on
+    callback-capable backends, chunk-granular ticks on the coarse fallback,
+    None on pre-set abort — all bitwise equal to the plain keyed scan."""
+    import threading
+
+    from stable_virtual_camera_tpu.sampling import sampler as sampler_mod
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            return 0.1 * jnp.tanh(net_in[..., :4]) + variables["params"]["w"]
+
+    T, h, w, n = 3, 4, 4, 5
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    plan = make_sampling_plan(DDPMDiscretization(), n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    base_key = jax.random.PRNGKey(5)
+    pc = np.array([2, 1], np.int32)
+
+    fast = den.sample_from_key((T, h, w, 4), plan, cond, base_key, pc)
+
+    ticks = []
+    tracked = den.sample_from_key(
+        (T, h, w, 4), plan, cond, base_key, pc,
+        progress_cb=lambda i, total: ticks.append(i),
+    )
+    assert ticks == list(range(1, n + 1))
+    np.testing.assert_allclose(
+        np.asarray(tracked), np.asarray(fast), rtol=1e-5, atol=1e-5
+    )
+
+    monkeypatch.setattr(sampler_mod, "io_callback_supported", lambda: False)
+    den2 = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    coarse_ticks = []
+    coarse = den2.sample_from_key(
+        (T, h, w, 4), plan, cond, base_key, pc,
+        progress_cb=lambda i, total: coarse_ticks.append((i, total)),
+    )
+    assert coarse_ticks == [(n, n)]
+    np.testing.assert_array_equal(np.asarray(coarse), np.asarray(fast))
+
+    ev = threading.Event()
+    ev.set()
+    assert (
+        den.sample_from_key((T, h, w, 4), plan, cond, base_key, pc, abort_event=ev)
+        is None
+    )
