@@ -600,23 +600,26 @@ class UNetDenoiser:
             concat = jnp.asarray(cond.concat)
             ca = jnp.asarray(cond.crossattn)
             de = jnp.asarray(cond.dense)
-            trees = [
-                calib(raw, net_xs, t_vecs, concat, ca, de, jnp.int32(k))
-                for k in idx
-            ]
-        # wq/ws are weight-only (identical across points): keep the first;
-        # ax is the running abs-max: elementwise max across points.
-        merge = jax.jit(
-            lambda ts: jax.tree_util.tree_map(
-                lambda *xs: (
-                    xs[0]
-                    if xs[0].dtype == jnp.int8
-                    else jnp.stack(xs).max(0)
+            # wq/ws are weight-only (identical across points): keep the
+            # accumulator's; ax is the running abs-max: elementwise max.
+            # MERGE PAIRWISE AS EACH POINT LANDS, donating the accumulator:
+            # holding all K collections before one merge keeps K int8 copies
+            # of every quantized kernel resident (~K x 1.3 GB at full scale
+            # — the first on-chip run OOMed 16 GB HBM exactly there). Peak
+            # is now two collections regardless of K.
+            merge2 = jax.jit(
+                lambda acc, t: jax.tree_util.tree_map(
+                    lambda a, b: a if a.dtype == jnp.int8 else jnp.maximum(a, b),
+                    acc,
+                    t,
                 ),
-                *ts,
+                donate_argnums=(0,),
             )
-        )
-        self.params = {"params": raw, "quant": merge(trees)}
+            acc = None
+            for k in idx:
+                t = calib(raw, net_xs, t_vecs, concat, ca, de, jnp.int32(k))
+                acc = t if acc is None else merge2(acc, t)
+        self.params = {"params": raw, "quant": acc}
 
     def sample(
         self,
