@@ -284,7 +284,9 @@ def _full_scale_bundle():
     )
 
 
-def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
+def scenario_e2e(
+    num_frames: int = 134, num_steps: int = STEPS, economy: bool = False
+) -> None:
     """The baseline's Advanced workload: 1 input image -> `num_frames`
     targets at 576x576, two passes through the full SceneEngine (reference
     docs/GR_USAGE.md:66-69 measures exactly this shape on L40S/H100)."""
@@ -315,6 +317,10 @@ def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
             cfg=4.0,
             num_steps=num_steps,
             seed=seed,
+            # economy anchors (EngineOptions.min_anchor_fill=False): the
+            # feasibility-minimum anchor count instead of the reference's
+            # fill-to-T-1 — fewer second-pass chunks at sparser anchors.
+            min_anchor_fill=not economy,
         )
 
     # Warmup run (untimed): compiles every shape bucket the schedule hits
@@ -338,7 +344,8 @@ def scenario_e2e(num_frames: int = 134, num_steps: int = STEPS) -> None:
     print(
         json.dumps(
             {
-                "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass",
+                "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass"
+                + ("_economy" if economy else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
@@ -422,7 +429,8 @@ if __name__ == "__main__":
             frames = int(sys.argv[idx + 1]) if idx >= 0 else 134
             sidx = sys.argv.index("--steps") if "--steps" in sys.argv else -1
             steps = int(sys.argv[sidx + 1]) if sidx >= 0 else STEPS
-            scenario_e2e(frames, steps)
+            economy = "--economy" in sys.argv
+            scenario_e2e(frames, steps, economy=economy)
         else:
             main()
     except Exception as e:  # noqa: BLE001

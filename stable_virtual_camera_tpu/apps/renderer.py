@@ -139,6 +139,7 @@ class HeadlessRenderer:
         zoom_factor: float | None = None,
         camera_scale: float = 2.0,
         num_steps: int = 50,
+        min_anchor_fill: bool = True,
     ) -> dict:
         """Resolve the full render plan: targets, anchors, options (incl. the
         reference's >10-input-views forced `interp` strategy, demo_gr.py:242-244)
@@ -187,6 +188,7 @@ class HeadlessRenderer:
             # the measured optimum (2.82 s vs 3.86 s chunked, round-3 journal)
             # and fits HBM. 0 = whole batch in one dispatch (VaeApplier).
             decoding_t=0,
+            min_anchor_fill=min_anchor_fill,
         )
         num_anchors = infer_prior_stats(
             version.T, num_inputs, num_total_frames=num_targets, version_config=version,

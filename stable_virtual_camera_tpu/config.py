@@ -115,6 +115,13 @@ class EngineOptions:
     replace_or_include_input: bool = False
     skip_saved: bool = False
     # TPU-specific additions (absent in the reference):
+    # min_anchor_fill=False is an opt-in speed/quality knob: keep the
+    # first-pass anchor count at the feasibility minimum ceil(N/(T-2))+1
+    # instead of filling the first-pass window to T-1 anchors (reference
+    # seva/eval.py:404-407 always fills). Fewer anchors occupy fewer
+    # second-pass chunk slots, so the schedule needs fewer denoise scans
+    # (orbit-134: 11 -> 9); anchors are correspondingly sparser.
+    min_anchor_fill: bool = True
     param_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
     mesh_view_axis: int = 1  # number of devices to shard the view/T axis over

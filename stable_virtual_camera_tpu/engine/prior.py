@@ -61,7 +61,20 @@ def infer_prior_stats(
                 + 1
             )
             if num_prior_frames + num_input_frames < T_first_pass:
-                num_prior_frames = T_first_pass - num_input_frames
+                if options.get("min_anchor_fill", True):
+                    num_prior_frames = T_first_pass - num_input_frames
+                else:
+                    # Economy mode (TPU addition, EngineOptions.min_anchor_fill):
+                    # keep the feasibility-minimum anchor count and shrink the
+                    # first-pass window to fit it — fewer anchors leave more
+                    # target slots per second-pass chunk, so the schedule needs
+                    # fewer denoise scans. The reference always fills to T-1
+                    # anchors here (seva/eval.py:404-407).
+                    num_prior_frames = max(
+                        num_prior_frames, options.get("num_prior_frames", 0)
+                    )
+                    T_first_pass = num_prior_frames + num_input_frames
+                    version_config.T = [T_first_pass, T_second_pass]
             num_prior_frames = max(
                 num_prior_frames, options.get("num_prior_frames", 0)
             )

@@ -257,3 +257,61 @@ def test_conditioning_caches_match_uncached(bundle):
     np.testing.assert_allclose(got_e, ref_e, rtol=1e-5, atol=1e-5)
     re_e = bundle.clip.embed_cached(clip_imgs[[2, 0]])
     np.testing.assert_array_equal(re_e, got_e[[2, 0]])
+
+
+def test_two_pass_economy_anchors(bundle, tmp_path):
+    """min_anchor_fill=False (economy anchors, a TPU addition): the first pass
+    runs at the shrunk T bucket with the feasibility-minimum anchor count, the
+    second pass needs fewer chunks, and every target frame is still delivered."""
+    from stable_virtual_camera_tpu.engine.prior import infer_prior_stats
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    rng = np.random.default_rng(11)
+    num_inputs, N, T = 1, 8, 6
+    imgs = (rng.uniform(0, 255, size=(num_inputs + N, 64, 64, 3))).astype(np.uint8)
+    c2ws = random_c2ws(rng, num_inputs + N).astype(np.float32)[:, :3]
+    Ks = np.repeat(
+        np.array(
+            [[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]], dtype=np.float32
+        )[None],
+        num_inputs + N,
+        axis=0,
+    )
+
+    results = {}
+    for fill in (True, False):
+        version = VersionConfig(H=64, W=64, T=T)
+        options = _options(
+            chunk_strategy="interp-gt", chunk_strategy_first_pass="gt-nearest",
+            guider_types=[1, 2], cfg=[2.0, 2.0], min_anchor_fill=fill,
+        )
+        num_anchors = infer_prior_stats(T, num_inputs, N, version, options)
+        anchor_idx = np.linspace(num_inputs, num_inputs + N - 1, num_anchors)
+        engine = SceneEngine(bundle, version, options)
+        save_path = osp.join(str(tmp_path), f"fill_{fill}")
+        paths = list(
+            engine.run_one_scene(
+                "img2trajvid",
+                {
+                    "img": [im for im in imgs],
+                    "input_indices": list(range(num_inputs)),
+                    "prior_indices": anchor_idx.tolist(),
+                },
+                {
+                    "c2w": c2ws,
+                    "K": [k for k in Ks],
+                    "input_indices": list(range(num_inputs + N)),
+                },
+                save_path=save_path,
+                use_traj_prior=True,
+                traj_prior_Ks=None,
+                traj_prior_c2ws=c2ws[[round(i) for i in anchor_idx]],
+                seed=23,
+            )
+        )
+        frames = read_video(osp.join(save_path, "samples-rgb.mp4"))
+        results[fill] = (num_anchors, version.T, frames.shape[0])
+
+    assert results[True][0] > results[False][0]  # fewer anchors in economy mode
+    assert results[False][1] == [results[False][0] + num_inputs, T]  # shrunk bucket
+    assert results[True][2] == results[False][2] == N  # all targets delivered

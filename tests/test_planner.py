@@ -244,3 +244,51 @@ def test_interp_gt_infeasible_raises(rng):
             chunk_strategy="interp-gt",
             gt_input_inds=[0],
         )
+
+
+def test_min_anchor_fill_economy_schedule(rng):
+    """Economy anchors (EngineOptions.min_anchor_fill=False, a TPU addition):
+    the first pass keeps the feasibility-minimum anchor count instead of
+    filling to T-1 (reference seva/eval.py:404-407 always fills), shrinking
+    the schedule. Pinned on the baseline's own orbit-134 Advanced workload:
+    20 anchors / 11 total scans -> 9 anchors / 9 total scans."""
+    T, N, num_inputs = 21, 134, 1
+    c2ws = random_c2ws(rng, num_inputs + N)
+    input_c2ws, target_c2ws = c2ws[:num_inputs], c2ws[num_inputs:]
+
+    totals = {}
+    for fill in (True, False):
+        version = VersionConfig()
+        opts = EngineOptions(
+            chunk_strategy="interp-gt", sampler_verbose=False,
+            min_anchor_fill=fill,
+        )
+        num_anchors = prior.infer_prior_stats(T, num_inputs, N, version, opts)
+        T_first, T_second = (
+            version.T if isinstance(version.T, list) else (version.T, version.T)
+        )
+        anchor_idx = [
+            round(i) for i in np.linspace(num_inputs, num_inputs + N - 1, num_anchors)
+        ]
+        p1 = planner.chunk_input_and_test(
+            T_first, input_c2ws, c2ws[anchor_idx],
+            list(range(num_inputs)), anchor_idx,
+            options=opts, task="img2trajvid", chunk_strategy="gt-nearest",
+            gt_input_inds=list(range(num_inputs)), verbose=False,
+        )
+        cond_c2ws = np.concatenate([input_c2ws, c2ws[anchor_idx]], 0)
+        p2 = planner.chunk_input_and_test(
+            T_second, cond_c2ws, target_c2ws,
+            sorted(list(range(num_inputs)) + anchor_idx),
+            list(range(num_inputs, num_inputs + N)),
+            options=opts, task="img2trajvid", chunk_strategy="interp-gt",
+            gt_input_inds=list(range(num_inputs)), verbose=False,
+        )
+        n1, n2 = len(p1.input_inds_per_chunk), len(p2.input_inds_per_chunk)
+        totals[fill] = (num_anchors, T_first, n1 + n2)
+        # every target delivered exactly once
+        delivered = sorted(i for c in p2.test_inds_per_chunk for i in c)
+        assert delivered == list(range(N))
+
+    assert totals[True] == (20, 21, 11)   # reference schedule
+    assert totals[False] == (9, 10, 9)    # economy: 2 fewer full scans
