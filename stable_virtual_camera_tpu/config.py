@@ -116,12 +116,20 @@ class EngineOptions:
     skip_saved: bool = False
     # TPU-specific additions (absent in the reference):
     # min_anchor_fill=False is an opt-in speed/quality knob: keep the
-    # first-pass anchor count at the feasibility minimum ceil(N/(T-2))+1
+    # first-pass anchor count at the feasibility minimum
+    # ceil(N/(T-2-gt_inputs))+1 (+1 slack for anchor-placement rounding)
     # instead of filling the first-pass window to T-1 anchors (reference
     # seva/eval.py:404-407 always fills). Fewer anchors occupy fewer
     # second-pass chunk slots, so the schedule needs fewer denoise scans
     # (orbit-134: 11 -> 9); anchors are correspondingly sparser.
     min_anchor_fill: bool = True
+    # deliver_anchors=True (TPU addition, opt-in): targets whose pose
+    # coincides with a first-pass anchor are delivered straight from the
+    # first pass instead of being re-denoised in the second pass (the
+    # reference re-samples every target, seva/eval.py:1837-1956). Combined
+    # with dense anchor placement (engine/prior.plan_dense_anchors) the
+    # baseline's orbit-134 workload drops from 11 scans to 8.
+    deliver_anchors: bool = False
     param_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
     mesh_view_axis: int = 1  # number of devices to shard the view/T axis over

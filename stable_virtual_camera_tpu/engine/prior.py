@@ -60,24 +60,35 @@ def infer_prior_stats(
                 )
                 + 1
             )
+            economy = False
             if num_prior_frames + num_input_frames < T_first_pass:
                 if options.get("min_anchor_fill", True):
                     num_prior_frames = T_first_pass - num_input_frames
                 else:
                     # Economy mode (TPU addition, EngineOptions.min_anchor_fill):
-                    # keep the feasibility-minimum anchor count and shrink the
-                    # first-pass window to fit it — fewer anchors leave more
-                    # target slots per second-pass chunk, so the schedule needs
-                    # fewer denoise scans. The reference always fills to T-1
-                    # anchors here (seva/eval.py:404-407).
-                    num_prior_frames = max(
-                        num_prior_frames, options.get("num_prior_frames", 0)
-                    )
-                    T_first_pass = num_prior_frames + num_input_frames
-                    version_config.T = [T_first_pass, T_second_pass]
+                    # keep the anchor count near the feasibility minimum and
+                    # shrink the first-pass window to fit it — fewer anchors
+                    # leave more target slots per second-pass chunk, so the
+                    # schedule needs fewer denoise scans. The reference always
+                    # fills to T-1 anchors here (seva/eval.py:404-407).
+                    # +1 slack anchor: round(linspace) anchor placement can
+                    # overfill a single inter-anchor gap by one target, which
+                    # would break the planner's per-gap bound (T-2-gt) at the
+                    # exact minimum; one extra anchor restores feasibility for
+                    # every workload size (swept N=3..299 in test_planner).
+                    economy = True
+                    num_prior_frames += 1
             num_prior_frames = max(
                 num_prior_frames, options.get("num_prior_frames", 0)
             )
+            if economy:
+                # fit the window to the anchor count, never growing past the
+                # configured first-pass bucket (a user-supplied
+                # num_prior_frames above the minimum must not silently widen T)
+                T_first_pass = min(
+                    num_prior_frames + num_input_frames, T_first_pass
+                )
+                version_config.T = [T_first_pass, T_second_pass]
     else:
         num_prior_frames = max(
             T_first_pass - num_input_frames, options.get("num_prior_frames", 0)
@@ -87,6 +98,61 @@ def infer_prior_stats(
             version_config.T = [T_first_pass, T_second_pass]
 
     return num_prior_frames
+
+
+def plan_dense_anchors(
+    num_targets: int,
+    T_second: int,
+    num_gt_inputs: int,
+    deliver: bool = False,
+) -> list[int]:
+    """Place first-pass anchors at exact target indices so the second-pass
+    interp schedule is maximally dense (TPU addition; no reference analogue —
+    the reference always places `round(linspace)` anchors, seva/eval.py:425-436,
+    demo_gr.py:531-536, whose rounding can overfill a gap).
+
+    An interp[-gt] chunk packs densest with ONE full anchor gap:
+    gt + anchor + (T-2-gt targets) + anchor == T slots exactly; packing two
+    gaps into a chunk always delivers fewer targets (each extra gap costs an
+    extra anchor slot). So the optimal schedule uses the minimum number of
+    balanced gaps, each at most `cap = T_second - 2 - num_gt_inputs` targets:
+
+    - deliver=False: every target is re-denoised in pass 2 (reference
+      semantics). k = ceil((N-1)/cap) gaps -> k+1 anchors.
+    - deliver=True (`deliver_anchors`): targets coincident with an anchor are
+      delivered straight from the first pass, so a gap of width g samples
+      only g-1 targets. k = ceil((N-1)/(cap+1)) gaps -> k+1 anchors, and for
+      the baseline's orbit-134 workload every second-pass chunk packs to
+      exactly T slots (7 chunks x 18 new frames).
+
+    Returns sorted integer anchor positions in [0, num_targets-1], always
+    including both endpoints.
+    """
+    cap = T_second - 2 - num_gt_inputs
+    assert cap >= 1, (
+        f"no target slots: T_second={T_second} with {num_gt_inputs} gt inputs"
+    )
+    if num_targets <= 2:
+        return list(range(num_targets))
+    stride = cap + 1 if deliver else cap
+    k = max(1, math.ceil((num_targets - 1) / stride))
+    while True:
+        pos = sorted(
+            {round(i * (num_targets - 1) / k) for i in range(k + 1)}
+        )
+        widths = [b - a for a, b in zip(pos, pos[1:])]
+        # A gap [a_i, a_{i+1}) samples its width targets (the target at a_i
+        # is inside it); with deliver=True the anchor-coincident target is
+        # delivered instead, so one fewer. The final target sits at the last
+        # anchor's ordinal and joins the LAST gap (the planner nudges the
+        # last anchor ordinal by +0.01, planner._plan_interp), costing it one
+        # extra slot in non-deliver mode.
+        sampled = [w - 1 if deliver else w for w in widths]
+        if not deliver:
+            sampled[-1] += 1
+        if all(s <= cap for s in sampled):
+            return pos
+        k += 1  # balanced rounding overfilled a gap; one more anchor fixes it
 
 
 def infer_prior_inds(

@@ -248,10 +248,10 @@ def test_interp_gt_infeasible_raises(rng):
 
 def test_min_anchor_fill_economy_schedule(rng):
     """Economy anchors (EngineOptions.min_anchor_fill=False, a TPU addition):
-    the first pass keeps the feasibility-minimum anchor count instead of
-    filling to T-1 (reference seva/eval.py:404-407 always fills), shrinking
-    the schedule. Pinned on the baseline's own orbit-134 Advanced workload:
-    20 anchors / 11 total scans -> 9 anchors / 9 total scans."""
+    the first pass keeps the feasibility-minimum anchor count (+1 placement
+    slack) instead of filling to T-1 (reference seva/eval.py:404-407 always
+    fills), shrinking the schedule. Pinned on the baseline's own orbit-134
+    Advanced workload: 20 anchors / 11 total scans -> 10 anchors / 10 scans."""
     T, N, num_inputs = 21, 134, 1
     c2ws = random_c2ws(rng, num_inputs + N)
     input_c2ws, target_c2ws = c2ws[:num_inputs], c2ws[num_inputs:]
@@ -291,4 +291,109 @@ def test_min_anchor_fill_economy_schedule(rng):
         assert delivered == list(range(N))
 
     assert totals[True] == (20, 21, 11)   # reference schedule
-    assert totals[False] == (9, 10, 9)    # economy: 2 fewer full scans
+    assert totals[False] == (10, 11, 10)  # economy: one fewer full scan
+
+
+def _simulate_two_pass(N, anchor_rel, deliver, T=21, num_inputs=1, rng=None):
+    """Plan both passes for anchors at target indices `anchor_rel`; returns
+    (first_chunks, second_chunks, first_T) after asserting every target is
+    delivered exactly once (sampled or anchor-delivered)."""
+    c2ws = random_c2ws(rng, num_inputs + N)
+    input_c2ws, target_c2ws = c2ws[:num_inputs], c2ws[num_inputs:]
+    anchor_idx = [num_inputs + r for r in anchor_rel]
+    T_first = min(len(anchor_idx) + num_inputs, T)
+    opts = EngineOptions(chunk_strategy="interp-gt", sampler_verbose=False)
+    p1 = planner.chunk_input_and_test(
+        T_first, input_c2ws, c2ws[anchor_idx], list(range(num_inputs)),
+        anchor_idx, options=opts, task="img2trajvid",
+        chunk_strategy="gt-nearest", gt_input_inds=list(range(num_inputs)),
+        verbose=False,
+    )
+    cond = np.concatenate([input_c2ws, c2ws[anchor_idx]], 0)
+    prior_indices = sorted(list(range(num_inputs)) + anchor_idx)
+    test_indices = list(range(num_inputs, num_inputs + N))
+    if deliver:
+        pset = set(anchor_idx)
+        keep = [j for j, t in enumerate(test_indices) if t not in pset]
+    else:
+        keep = list(range(N))
+    p2 = planner.chunk_input_and_test(
+        T, cond, target_c2ws[keep], prior_indices,
+        [test_indices[j] for j in keep], options=opts, task="img2trajvid",
+        chunk_strategy="interp-gt", gt_input_inds=list(range(num_inputs)),
+        verbose=False,
+    )
+    sampled = sorted(keep[k] for c in p2.test_inds_per_chunk for k in c)
+    delivered = [
+        j for j, t in enumerate(test_indices)
+        if deliver and t in set(anchor_idx)
+    ]
+    assert sorted(sampled + delivered) == list(range(N))
+    return len(p1.input_inds_per_chunk), len(p2.input_inds_per_chunk), T_first
+
+
+def test_plan_dense_anchors_orbit134_schedule(rng):
+    """Dense placement on the baseline's orbit-134 Advanced workload
+    (docs/GR_USAGE.md:66-69): the reference plans 20 anchors / 11 scans /
+    231 frame-slots; dense economy needs 9 anchors / 9 scans / 178 slots;
+    dense + deliver_anchors needs 8 anchors / 8 scans / 156 slots with every
+    second-pass chunk packed to exactly T."""
+    N, T = 134, 21
+    rel = prior.plan_dense_anchors(N, T, 1, deliver=False)
+    assert len(rel) == 9 and rel[0] == 0 and rel[-1] == N - 1
+    n1, n2, T_first = _simulate_two_pass(N, rel, deliver=False, rng=rng)
+    assert (n1, n2, T_first) == (1, 8, 10)
+
+    rel_d = prior.plan_dense_anchors(N, T, 1, deliver=True)
+    assert len(rel_d) == 8
+    n1, n2, T_first = _simulate_two_pass(N, rel_d, deliver=True, rng=rng)
+    assert (n1, n2, T_first) == (1, 7, 9)
+    # 1x9 + 7x21 = 156 slots vs the reference's 3x21 + 8x21 = 231
+    assert n1 * T_first + n2 * T == 156
+
+
+def test_plan_dense_anchors_sweep(rng):
+    """Every N in 3..299, both deliver modes: anchors at integer target
+    indices spanning both endpoints, and the resulting two-pass interp-gt
+    schedule is feasible with every target delivered exactly once."""
+    for N in range(3, 300):
+        for deliver in (False, True):
+            rel = prior.plan_dense_anchors(N, 21, 1, deliver=deliver)
+            assert rel[0] == 0 and rel[-1] == N - 1 and rel == sorted(set(rel))
+            _simulate_two_pass(N, rel, deliver=deliver, rng=rng)
+
+
+def test_min_anchor_fill_economy_feasible_sweep(rng):
+    """Every workload size N=3..299 must plan feasibly in economy mode
+    (min_anchor_fill=False). Before the +1 placement-slack anchor,
+    round(linspace) placement overfilled one inter-anchor gap for 61 of the
+    297 sizes and `_plan_interp` raised 'interp chunking infeasible'."""
+    num_inputs = 1
+    for N in range(3, 300):
+        c2ws = random_c2ws(rng, num_inputs + N)
+        input_c2ws, target_c2ws = c2ws[:num_inputs], c2ws[num_inputs:]
+        version = VersionConfig()
+        opts = EngineOptions(
+            chunk_strategy="interp-gt", sampler_verbose=False,
+            min_anchor_fill=False,
+        )
+        num_anchors = prior.infer_prior_stats(21, num_inputs, N, version, opts)
+        T_first, T_second = (
+            version.T if isinstance(version.T, list) else (version.T, version.T)
+        )
+        # economy never widens the window past the configured bucket
+        assert T_first <= 21
+        anchor_idx = [
+            round(i)
+            for i in np.linspace(num_inputs, num_inputs + N - 1, num_anchors)
+        ]
+        cond_c2ws = np.concatenate([input_c2ws, c2ws[anchor_idx]], 0)
+        p2 = planner.chunk_input_and_test(
+            T_second, cond_c2ws, target_c2ws,
+            sorted(list(range(num_inputs)) + anchor_idx),
+            list(range(num_inputs, num_inputs + N)),
+            options=opts, task="img2trajvid", chunk_strategy="interp-gt",
+            gt_input_inds=list(range(num_inputs)), verbose=False,
+        )
+        delivered = sorted(i for c in p2.test_inds_per_chunk for i in c)
+        assert delivered == list(range(N)), f"delivery mismatch at N={N}"
