@@ -24,7 +24,10 @@ from stable_virtual_camera_tpu.core.normalize import normalize_scene
 from stable_virtual_camera_tpu.core.transforms import transform_img_and_K
 from stable_virtual_camera_tpu.core.trajectories import get_preset_pose_fov
 from stable_virtual_camera_tpu.engine import planner
-from stable_virtual_camera_tpu.engine.prior import infer_prior_stats
+from stable_virtual_camera_tpu.engine.prior import (
+    infer_prior_stats,
+    plan_dense_anchors,
+)
 from stable_virtual_camera_tpu.engine.runner import ModelBundle, SceneEngine
 
 
@@ -140,6 +143,7 @@ class HeadlessRenderer:
         camera_scale: float = 2.0,
         num_steps: int = 50,
         min_anchor_fill: bool = True,
+        deliver_anchors: bool = False,
     ) -> dict:
         """Resolve the full render plan: targets, anchors, options (incl. the
         reference's >10-input-views forced `interp` strategy, demo_gr.py:242-244)
@@ -190,13 +194,38 @@ class HeadlessRenderer:
             decoding_t=0,
             min_anchor_fill=min_anchor_fill,
         )
-        num_anchors = infer_prior_stats(
-            version.T, num_inputs, num_total_frames=num_targets, version_config=version,
-            options=options,
+        T_first0 = version.T[0] if isinstance(version.T, (list, tuple)) else version.T
+        T_second0 = (
+            version.T[1] if isinstance(version.T, (list, tuple)) else version.T
         )
-        anchor_indices = np.linspace(
-            num_inputs, num_inputs + num_targets - 1, num_anchors
-        ).tolist()
+        use_dense = (
+            not min_anchor_fill
+            and chunk_strategy.startswith("interp")
+            and num_inputs < options.get("num_input_semi_dense", 9)
+        )
+        if use_dense:
+            # Economy schedule: anchors at exact target indices, balanced gaps
+            # bounded by the per-chunk capacity (plan_dense_anchors) — the
+            # minimum anchor count, vs the reference's fill-to-T-1
+            # (seva/eval.py:404-407) and round(linspace) placement.
+            rel = plan_dense_anchors(
+                num_targets,
+                T_second0,
+                num_inputs if "gt" in chunk_strategy else 0,
+                deliver=deliver_anchors,
+            )
+            anchor_indices = [float(num_inputs + r) for r in rel]
+            num_anchors = len(anchor_indices)
+            version.T = [min(num_anchors + num_inputs, T_first0), T_second0]
+            options.set("deliver_anchors", bool(deliver_anchors))
+        else:
+            num_anchors = infer_prior_stats(
+                version.T, num_inputs, num_total_frames=num_targets,
+                version_config=version, options=options,
+            )
+            anchor_indices = np.linspace(
+                num_inputs, num_inputs + num_targets - 1, num_anchors
+            ).tolist()
         anchor_c2ws = all_c2ws[[round(ind) for ind in anchor_indices]]
         anchor_Ks = all_Ks[[round(ind) for ind in anchor_indices]]
 
@@ -314,6 +343,13 @@ class HeadlessRenderer:
             anchor_argsort
         ]
         T_second = T[1] if isinstance(T, (list, tuple)) else T
+        if quiet.get("deliver_anchors", False):
+            # anchor-coincident targets are delivered, not re-planned
+            # (mirrors SceneEngine's second-pass reduction)
+            coincident = set(anchor_indices)
+            keep = [j for j, t in enumerate(target_indices) if t not in coincident]
+            target_c2ws = target_c2ws[keep]
+            target_indices = [target_indices[j] for j in keep]
         n1 = len(
             planner.chunk_input_and_test(
                 T_second,

@@ -39,6 +39,7 @@ from stable_virtual_camera_tpu.engine.saving import (
     get_k_from_dict,
     replace_or_include_input_for_dict,
     save_output,
+    to_uint8,
     update_kv_for_dict,
 )
 from stable_virtual_camera_tpu.engine.value_dict import ChunkValues, build_chunk_values
@@ -834,12 +835,44 @@ class SceneEngine:
             update_kv_for_dict(all_samples, "samples-intrinsics", traj_prior_Ks)
 
             strategy2 = options.get("chunk_strategy", "nearest")
+            deliver = (
+                options.get("deliver_anchors", False)
+                and strategy2.startswith("interp")
+            )
+            if deliver:
+                # Targets whose ordinal coincides with an anchor are not
+                # re-denoised: the first-pass frame at the identical pose is
+                # delivered directly (TPU addition, EngineOptions.
+                # deliver_anchors; the reference re-samples every target,
+                # seva/eval.py:1837-1956). Inputs can never coincide —
+                # test_indices excludes them by construction.
+                prior_rows = {
+                    int(round(p)): j
+                    for j, p in enumerate(prior_indices)
+                    if abs(p - round(p)) < 1e-9
+                }
+                keep = [
+                    j for j, t in enumerate(test_indices) if t not in prior_rows
+                ]
+                delivered = [
+                    (j, prior_rows[t])
+                    for j, t in enumerate(test_indices)
+                    if t in prior_rows
+                ]
+            else:
+                keep = list(range(len(test_indices)))
+                delivered = []
+            test_indices2 = [test_indices[j] for j in keep]
+            test_imgs2 = test_imgs[keep]
+            test_imgs_clip2 = test_imgs_clip[keep]
+            test_c2ws2 = test_c2ws[keep]
+            test_Ks2 = test_Ks[keep]
             plan2 = planner.chunk_input_and_test(
                 T_second,
                 traj_prior_c2ws,
-                test_c2ws,
+                test_c2ws2,
                 prior_indices,
-                test_indices,
+                test_indices2,
                 options=options,
                 task=task,
                 chunk_strategy=strategy2,
@@ -866,7 +899,9 @@ class SceneEngine:
                         video_save_fps=2,
                     )
                 extend_dict(all_samples, samples)
-                all_test_inds.extend(c_test_inds)
+                # c_test_inds index the (possibly anchor-reduced) test arrays;
+                # map back to positions in the full target list
+                all_test_inds.extend(keep[k] for k in c_test_inds)
 
             # host-assemble every chunk up front (cheap numpy): second-pass
             # chunks depend only on the fixed anchors, so they can run
@@ -903,7 +938,7 @@ class SceneEngine:
                             traj_prior_c2ws,
                             traj_prior_Ks,
                         ],
-                        [test_imgs, test_imgs_clip, test_c2ws, test_Ks],
+                        [test_imgs2, test_imgs_clip2, test_c2ws2, test_Ks2],
                     )
                 ]
                 curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
@@ -981,6 +1016,16 @@ class SceneEngine:
                     _flush_second_pass_chunk(pending.pop(0))
             while pending:
                 _flush_second_pass_chunk(pending.pop(0))
+            if delivered:
+                # splice the first-pass anchor frames in at their coincident
+                # target positions (same dtype/op order as the device-side
+                # uint8 decode: to_uint8 is byte-identical to decode_uint8)
+                rows = [r for _, r in delivered]
+                extend_dict(
+                    all_samples,
+                    {"samples-rgb/image": to_uint8(traj_prior_imgs[rows])},
+                )
+                all_test_inds.extend(j for j, _ in delivered)
             all_samples = {
                 key: value[np.argsort(all_test_inds, kind="stable")]
                 for key, value in all_samples.items()

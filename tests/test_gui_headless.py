@@ -154,6 +154,59 @@ def test_prepare_plan_counts_and_streaming(tiny_renderer):
     assert calls["second"] == plan["second_pass_steps"]
 
 
+@pytest.mark.slow  # engine-scale: full two-pass render on the tiny bundle
+def test_deliver_anchors_renderer(tiny_renderer):
+    """Economy schedule with anchor delivery (EngineOptions.deliver_anchors,
+    a TPU addition): dense anchors at exact target poses, anchor-coincident
+    targets spliced from the first pass instead of re-denoised. Checks the
+    schedule shrinks, every frame is delivered, and the delivered anchor
+    frames are byte-identical to the saved first-pass frames."""
+    import os.path as osp
+
+    import imageio.v3 as iio
+
+    from stable_virtual_camera_tpu.config import VersionConfig
+    from stable_virtual_camera_tpu.engine.prior import plan_dense_anchors
+    from stable_virtual_camera_tpu.utils.video import read_video
+
+    renderer = type(tiny_renderer)(
+        tiny_renderer.bundle, work_dir=tiny_renderer.work_dir
+    )
+    renderer.version = VersionConfig(H=64, W=64, T=8)
+    N = 14
+
+    def mkplan(**kw):
+        return renderer.prepare(
+            _basic_pre(), preset_traj="orbit", num_frames=N, zoom_factor=0.5,
+            num_steps=2, chunk_strategy="interp-gt", **kw,
+        )
+
+    plan_fill = mkplan()
+    plan = mkplan(min_anchor_fill=False, deliver_anchors=True)
+    assert plan["options"].get("deliver_anchors") is True
+    assert (
+        plan["first_pass_chunks"] + plan["second_pass_chunks"]
+        < plan_fill["first_pass_chunks"] + plan_fill["second_pass_chunks"]
+    )
+    rel = plan_dense_anchors(N, 8, 1, deliver=True)
+    assert len(plan["image_cond"]["prior_indices"]) == len(rel)
+
+    videos = list(renderer.run(plan))
+    assert len(videos) == 2
+    final = read_video(videos[1])
+    assert final.shape[0] == N  # anchors delivered + targets sampled
+
+    # delivered anchor frames == first-pass frames, byte-for-byte (PNGs are
+    # lossless; anchors are saved by the first pass in anchor-rank order)
+    out_dir = osp.dirname(videos[1])
+    for rank, pos in enumerate(rel):
+        got = iio.imread(osp.join(out_dir, "samples-rgb", f"{pos:03d}.png"))
+        want = iio.imread(
+            osp.join(out_dir, "first-pass", "samples-rgb", f"{rank:03d}.png")
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_prepare_forces_interp_above_10_views(tiny_renderer):
     from conftest import random_c2ws
