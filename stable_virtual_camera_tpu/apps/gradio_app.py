@@ -39,6 +39,12 @@ def build_app(bundle, advanced: bool = True, renderer=None, num_steps: int = 50)
     (num_steps fixed at 50, demo_gr.py:569-570)."""
     import gradio as gr
 
+    from stable_virtual_camera_tpu.apps.ui_manifest import check_gradio
+
+    # fail loudly at startup if the installed gradio drifted from the pinned
+    # surface the app (and its test shims) are written against
+    check_gradio(gr)
+
     from stable_virtual_camera_tpu.apps.preprocessor import (
         Dust3rPipeline,
         NativeDust3rPipeline,
@@ -74,7 +80,10 @@ def build_app(bundle, advanced: bool = True, renderer=None, num_steps: int = 50)
         try:
             import viser
 
+            from stable_virtual_camera_tpu.apps.ui_manifest import check_viser
+
             server = viser.ViserServer()
+            check_viser(viser, server)
             servers[request.session_hash] = server
             html = viser_iframe_html(server)  # demo_gr.py:752-777
         except ImportError:

@@ -961,13 +961,18 @@ class SceneEngine:
             )
             # per-step progress needs the serial sampler; without it,
             # independent chunks batch over the data axis in groups of n_data
-            # (bit-identical to serial: same per-chunk keys, see sample_many)
+            # (bit-identical to serial: same per-chunk keys, see sample_many).
+            # A final PARTIAL group is padded by repeating its last chunk so
+            # it still runs as one sharded program (a 7-chunk pass on an
+            # 8-wide data axis is one dispatch, not 7 serial scans); padded
+            # outputs are dropped.
             use_dp = n_data > 1 and len(work) > 1 and second_pass_pbar is None
-            n_full = (len(work) // n_data) * n_data if use_dp else 0
-            for g in range(0, n_full, n_data):
+            n_dp = len(work) if use_dp else 0
+            for g in range(0, n_dp, n_data):
                 if abort_event is not None and abort_event.is_set():
                     return
                 group = work[g : g + n_data]
+                pad = n_data - len(group)
                 conds, shape = [], None
                 for _, _, _, _, values in group:
                     cond, shape = build_chunk_conditioning(
@@ -975,10 +980,12 @@ class SceneEngine:
                         cfg_min=cfg_min, encoding_t=enc_t, latent_downsample=F,
                     )
                     conds.append(cond)
+                conds += [conds[-1]] * pad
                 conds_n = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *conds
                 )
-                keys_n = jnp.stack([chunk_key(item[0]) for item in group])
+                keys = [chunk_key(item[0]) for item in group]
+                keys_n = jnp.stack(keys + [keys[-1]] * pad)
                 xs_n = bundle.denoiser.sample_many(
                     keys_n, bundle.plan(num_steps), conds_n, shape
                 )
@@ -988,7 +995,7 @@ class SceneEngine:
                     _flush_second_pass_chunk(
                         (out_dev, i, c_test_sels, c_test_inds, curr)
                     )
-            for i, c_test_sels, c_test_inds, curr, values in work[n_full:]:
+            for i, c_test_sels, c_test_inds, curr, values in work[n_dp:]:
                 samples_dev = sample_chunk(
                     bundle,
                     values,

@@ -181,6 +181,9 @@ class _FakeGuiWidget:
         self._clicks.append(fn)
         return fn
 
+    def remove(self):
+        self.removed = True
+
     def fire(self, event=None):
         for fn in self._clicks + self._updates:
             fn(event)
@@ -379,3 +382,33 @@ def test_advanced_render_requires_trajectory(fake_ui, tmp_path):
     adv_btn = _find_button(gr, "Render video", fn_name="do_render_advanced")
     with pytest.raises(Exception, match="Set a camera trajectory"):
         run_event(*adv_btn.events[0])
+
+
+def test_shims_satisfy_pinned_ui_manifest():
+    """The fakes implement exactly the pinned UI surface the real apps check
+    at startup (apps/ui_manifest.py, pinned to the reference's
+    gradio==5.17.0 / viser): the same `check_*` call that guards against
+    real-package drift also keeps these shims honest."""
+    from stable_virtual_camera_tpu.apps import ui_manifest
+
+    gr = make_fake_gradio()
+    ui_manifest.check_gradio(gr)
+
+    viser = make_fake_viser()
+    server = viser.ViserServer()
+    ui_manifest.check_viser(viser, server)
+
+    # widget-level surfaces the module-level check can't reach: events on
+    # widget instances and attributes on gui handles
+    btn = gr.Button("x")
+    for ev in ui_manifest.GRADIO_WIDGET_EVENTS:
+        assert hasattr(btn, ev), f"fake gradio widget missing .{ev}"
+    handle = server.gui.add_slider("s", initial_value=1)
+    for attr in ui_manifest.VISER_HANDLE_ATTRS:
+        assert hasattr(handle, attr), f"fake viser gui handle missing .{attr}"
+    # a missing symbol must fail loudly
+    import types as _types
+
+    broken = _types.ModuleType("gradio")
+    with pytest.raises(ui_manifest.UiApiDrift, match="missing"):
+        ui_manifest.check_gradio(broken)

@@ -303,8 +303,8 @@ def test_engine_data_parallel_second_pass(tmp_path):
     """Second-pass chunks fan out over the mesh 'data' axis in groups
     (runner.py second pass + sampler.sample_many) and produce the same frames
     as the serial engine — the CLI's --mesh_data path. The scenario yields 5
-    chunks with n_data=2: two DP groups plus a serial remainder, so both code
-    paths run."""
+    chunks with n_data=2: two full DP groups plus a final padded partial
+    group (one chunk repeated to fill the data axis, padding dropped)."""
     import glob
     import os.path as osp
 
@@ -355,6 +355,76 @@ def test_engine_data_parallel_second_pass(tmp_path):
     # so frames agree to quantization (vmap compiles a different program, so
     # bitwise float equality is not guaranteed)
     assert serial.shape == dp.shape
+    assert np.max(np.abs(serial.astype(int) - dp.astype(int))) <= 1
+
+
+def test_engine_mesh_fanout_economy(tmp_path):
+    """The baseline's full 134-frame Advanced workload (economy anchors +
+    anchor delivery) end-to-end on the virtual 8-device mesh: the second
+    pass's 7 chunks fan out over a 4-wide 'data' axis as TWO sample_many
+    dispatches (4 + 3-padded-to-4) and the output frames match the serial
+    engine. This is the max multi-chip evidence obtainable on this box; the
+    projected chip-scaling table lives in benchmark/mesh_fanout_sim.py."""
+    import glob
+    import os.path as osp
+
+    import cv2
+    from stable_virtual_camera_tpu.apps.renderer import (
+        HeadlessRenderer,
+        preprocess_basic,
+    )
+    from stable_virtual_camera_tpu.config import VersionConfig
+    from stable_virtual_camera_tpu.models.io import random_bundle
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    dispatches = {"many": 0, "serial": 0}
+    orig_many = UNetDenoiser.sample_many
+    orig_one = UNetDenoiser.sample_from_key
+
+    def run(mesh, subdir):
+        dispatches.update(many=0, serial=0)
+        bundle = random_bundle(image_hw=(64, 64), mesh=mesh)
+        r = HeadlessRenderer(bundle, work_dir=str(tmp_path / subdir))
+        r.version = VersionConfig(H=64, W=64, T=21)
+        plan = r.prepare(
+            preprocess_basic(img, shorter=64), preset_traj="orbit",
+            num_frames=134, zoom_factor=0.5, chunk_strategy="interp-gt",
+            cfg=4.0, num_steps=2, seed=23, min_anchor_fill=False,
+            deliver_anchors=True,
+        )
+        assert (plan["first_pass_chunks"], plan["second_pass_chunks"]) == (1, 7)
+        videos = list(r.run(plan))
+        out_dir = osp.dirname(videos[-1])
+        pngs = sorted(glob.glob(osp.join(out_dir, "samples-rgb", "*.png")))
+        assert len(pngs) == 134
+        return np.stack([cv2.imread(p) for p in pngs])
+
+    def count_many(self, *a, **kw):
+        dispatches["many"] += 1
+        return orig_many(self, *a, **kw)
+
+    def count_one(self, *a, **kw):
+        dispatches["serial"] += 1
+        return orig_one(self, *a, **kw)
+
+    UNetDenoiser.sample_many = count_many
+    UNetDenoiser.sample_from_key = count_one
+    try:
+        serial = run(None, "fanout_serial")
+        assert dispatches["many"] == 0
+        n_serial = dispatches["serial"]
+        dp = run(make_mesh(n_data=4, n_view=1), "fanout_dp4")
+        # 1 first-pass serial scan + ceil(7/4)=2 batched second-pass groups
+        assert dispatches["many"] == 2
+        assert dispatches["serial"] == n_serial - 7 + 0
+    finally:
+        UNetDenoiser.sample_many = orig_many
+        UNetDenoiser.sample_from_key = orig_one
+    assert serial.shape == dp.shape
+    # same per-chunk keys; programs differ (vmap+shard) so frames agree to
+    # one uint8 quantization step
     assert np.max(np.abs(serial.astype(int) - dp.astype(int))) <= 1
 
 
