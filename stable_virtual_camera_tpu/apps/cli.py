@@ -38,6 +38,7 @@ from stable_virtual_camera_tpu.engine.prior import (
     compute_relative_inds,
     infer_prior_inds,
     infer_prior_stats,
+    resolve_anchors,
 )
 from stable_virtual_camera_tpu.engine.runner import SceneEngine
 from stable_virtual_camera_tpu.engine.saving import create_transforms_simple
@@ -168,10 +169,15 @@ def parse_task(task, scene, num_inputs, T, version: VersionConfig, options: Engi
             anchor_Ks = Ks[anchor_indices]
 
         elif task == "img2trajvid":
-            num_anchors = infer_prior_stats(T, num_inputs, num_targets, version, options)
+            # dense economy placement (+ optional anchor delivery) when
+            # min_anchor_fill=False; reference linspace otherwise
+            rel, _dense = resolve_anchors(
+                T, num_inputs, num_targets, version, options
+            )
+            num_anchors = len(rel)
             target_c2ws = c2ws[split_dict["test_ids"], :3]
             target_Ks = Ks[split_dict["test_ids"]]
-            sel = np.linspace(0, num_targets - 1, num_anchors).round().astype(np.int64)
+            sel = np.round(np.asarray(rel)).astype(np.int64)
             anchor_c2ws = target_c2ws[sel]
             anchor_Ks = target_Ks[sel]
 
@@ -180,9 +186,7 @@ def parse_task(task, scene, num_inputs, T, version: VersionConfig, options: Engi
             c2ws = c2ws[sampled_indices]
             Ks = Ks[sampled_indices]
             input_indices = np.arange(num_inputs).tolist()
-            anchor_indices = np.linspace(
-                num_inputs, num_inputs + num_targets - 1, num_anchors
-            ).tolist()
+            anchor_indices = [num_inputs + r for r in rel]
         else:
             raise ValueError(f"Unknown task: {task}")
 

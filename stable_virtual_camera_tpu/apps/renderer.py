@@ -24,10 +24,7 @@ from stable_virtual_camera_tpu.core.normalize import normalize_scene
 from stable_virtual_camera_tpu.core.transforms import transform_img_and_K
 from stable_virtual_camera_tpu.core.trajectories import get_preset_pose_fov
 from stable_virtual_camera_tpu.engine import planner
-from stable_virtual_camera_tpu.engine.prior import (
-    infer_prior_stats,
-    plan_dense_anchors,
-)
+from stable_virtual_camera_tpu.engine.prior import resolve_anchors
 from stable_virtual_camera_tpu.engine.runner import ModelBundle, SceneEngine
 
 
@@ -194,38 +191,17 @@ class HeadlessRenderer:
             decoding_t=0,
             min_anchor_fill=min_anchor_fill,
         )
-        T_first0 = version.T[0] if isinstance(version.T, (list, tuple)) else version.T
-        T_second0 = (
-            version.T[1] if isinstance(version.T, (list, tuple)) else version.T
+        # Economy (min_anchor_fill=False): anchors at exact target indices,
+        # balanced gaps bounded by the per-chunk capacity (plan_dense_anchors)
+        # — the minimum anchor count vs the reference's fill-to-T-1
+        # (seva/eval.py:404-407) and round(linspace) placement; optionally
+        # with anchor delivery. Reference placement otherwise.
+        options.set("deliver_anchors", bool(deliver_anchors))
+        rel, _dense = resolve_anchors(
+            version.T, num_inputs, num_targets, version, options
         )
-        use_dense = (
-            not min_anchor_fill
-            and chunk_strategy.startswith("interp")
-            and num_inputs < options.get("num_input_semi_dense", 9)
-        )
-        if use_dense:
-            # Economy schedule: anchors at exact target indices, balanced gaps
-            # bounded by the per-chunk capacity (plan_dense_anchors) — the
-            # minimum anchor count, vs the reference's fill-to-T-1
-            # (seva/eval.py:404-407) and round(linspace) placement.
-            rel = plan_dense_anchors(
-                num_targets,
-                T_second0,
-                num_inputs if "gt" in chunk_strategy else 0,
-                deliver=deliver_anchors,
-            )
-            anchor_indices = [float(num_inputs + r) for r in rel]
-            num_anchors = len(anchor_indices)
-            version.T = [min(num_anchors + num_inputs, T_first0), T_second0]
-            options.set("deliver_anchors", bool(deliver_anchors))
-        else:
-            num_anchors = infer_prior_stats(
-                version.T, num_inputs, num_total_frames=num_targets,
-                version_config=version, options=options,
-            )
-            anchor_indices = np.linspace(
-                num_inputs, num_inputs + num_targets - 1, num_anchors
-            ).tolist()
+        anchor_indices = [num_inputs + r for r in rel]
+        num_anchors = len(anchor_indices)
         anchor_c2ws = all_c2ws[[round(ind) for ind in anchor_indices]]
         anchor_Ks = all_Ks[[round(ind) for ind in anchor_indices]]
 

@@ -155,6 +155,53 @@ def plan_dense_anchors(
         k += 1  # balanced rounding overfilled a gap; one more anchor fixes it
 
 
+def resolve_anchors(
+    T: int | list[int] | tuple[int, int],
+    num_input_frames: int,
+    num_total_frames: int,
+    version_config,
+    options,
+) -> tuple[list[float], bool]:
+    """One decision point for anchor count + placement, shared by every
+    trajectory-prior surface (HeadlessRenderer.prepare, apps/cli.py
+    img2trajvid): dense economy placement when enabled and applicable
+    (min_anchor_fill=False, interp strategy, sparse-input regime), else the
+    reference's infer_prior_stats count with linspace placement
+    (seva/eval.py:344-422 + demo.py:231-256).
+
+    Returns (anchor positions RELATIVE to the ordered target list — integers
+    when dense, possibly fractional otherwise — and whether dense placement
+    was used). Rewrites `version_config.T` exactly like infer_prior_stats.
+    When dense placement is NOT used, options.deliver_anchors is forced off:
+    delivery requires anchors at exact integer target positions.
+    """
+    chunk_strategy = options.get("chunk_strategy", "nearest")
+    T_first = T[0] if isinstance(T, (list, tuple)) else T
+    T_second = T[1] if isinstance(T, (list, tuple)) else T
+    use_dense = (
+        not options.get("min_anchor_fill", True)
+        and chunk_strategy.startswith("interp")
+        and num_input_frames < options.get("num_input_semi_dense", 9)
+    )
+    if use_dense:
+        rel = plan_dense_anchors(
+            num_total_frames,
+            T_second,
+            num_input_frames if "gt" in chunk_strategy else 0,
+            deliver=options.get("deliver_anchors", False),
+        )
+        version_config.T = [
+            min(len(rel) + num_input_frames, T_first), T_second
+        ]
+        return [float(r) for r in rel], True
+    if options.get("deliver_anchors", False):
+        options.set("deliver_anchors", False)
+    n = infer_prior_stats(
+        T, num_input_frames, num_total_frames, version_config, options
+    )
+    return np.linspace(0, num_total_frames - 1, n).tolist(), False
+
+
 def infer_prior_inds(
     c2ws: np.ndarray,
     num_prior_frames: int,

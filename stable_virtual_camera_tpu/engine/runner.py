@@ -17,6 +17,7 @@ TPU-native differences (by design, documented):
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import os.path as osp
@@ -335,6 +336,7 @@ def sample_chunk(
     abort_event=None,
     defer: bool = False,
     output_uint8: bool = False,
+    prebuilt=None,
 ) -> np.ndarray | None:
     """One chunk's conditioning + denoising + decode
     (reference seva/eval.py:1218-1321 `do_sample`).
@@ -353,11 +355,18 @@ def sample_chunk(
 
     `output_uint8=True` quantizes frames on device before the host transfer
     (4x fewer bytes; byte-identical to the host to_uint8 path) — only valid
-    when the chunk's frames are final output, never re-fed to the model."""
-    cond, (T, h, w, C) = build_chunk_conditioning(
-        bundle, values, cfg=cfg, guider_type=guider_type, cfg_min=cfg_min,
-        encoding_t=encoding_t, latent_downsample=latent_downsample,
-    )
+    when the chunk's frames are final output, never re-fed to the model.
+
+    `prebuilt` short-circuits the conditioning build with an already-staged
+    (cond, latent_shape) pair — lets the caller prefetch the next chunk's
+    conditioning while the device runs the current scan."""
+    if prebuilt is not None:
+        cond, (T, h, w, C) = prebuilt
+    else:
+        cond, (T, h, w, C) = build_chunk_conditioning(
+            bundle, values, cfg=cfg, guider_type=guider_type, cfg_min=cfg_min,
+            encoding_t=encoding_t, latent_downsample=latent_downsample,
+        )
     if base_key is not None:
         x = bundle.denoiser.sample_from_key(
             (T, h, w, C), bundle.plan(num_steps), cond, base_key,
@@ -515,6 +524,12 @@ class SceneEngine:
         bundle = self.bundle
         T = version.T
         F = version.f
+        # opt-in per-stage wall decomposition (SVC_ENGINE_TIMING=1): where a
+        # render's non-scan time goes — printed at scene end
+        timer = StageTimer() if os.environ.get("SVC_ENGINE_TIMING") else None
+        stage = (
+            timer.stage if timer else (lambda name: contextlib.nullcontext())
+        )
         # per-frame conditioning caches are scene-scoped (bounded memory;
         # a server bundle serves many scenes — see encode_cached)
         bundle.vae.clear_cache()
@@ -522,7 +537,10 @@ class SceneEngine:
 
         camera_cond = dict(camera_cond)
         camera_cond["K"] = [np.asarray(k) for k in camera_cond["K"]]
-        imgs, imgs_clip, img_size = self._prepare_images(image_cond, camera_cond)
+        with stage("prepare_images"):
+            imgs, imgs_clip, img_size = self._prepare_images(
+                image_cond, camera_cond
+            )
         camera_cond["K"] = np.stack(camera_cond["K"]).astype(np.float32)
         all_c2ws = np.asarray(camera_cond["c2w"], np.float32)
 
@@ -778,26 +796,28 @@ class SceneEngine:
                     and i > 0
                 )
                 g = guiders[1] if use_second_sampler else guiders[0]
-                samples = sample_chunk(
-                    bundle,
-                    values,
-                    num_steps=num_steps,
-                    cfg=_cfg_at(cfg_opt, 0),
-                    guider_type=g,
-                    cfg_min=cfg_min,
-                    base_key=base_key,
-                    pass_id=1,
-                    chunk_id=i,
-                    encoding_t=enc_t,
-                    decoding_t=dec_t,
-                    latent_downsample=F,
-                    abort_event=abort_event,
-                    progress_cb=first_pass_pbar,
-                )
+                with stage("first_pass_sample"):
+                    samples = sample_chunk(
+                        bundle,
+                        values,
+                        num_steps=num_steps,
+                        cfg=_cfg_at(cfg_opt, 0),
+                        guider_type=g,
+                        cfg_min=cfg_min,
+                        base_key=base_key,
+                        pass_id=1,
+                        chunk_id=i,
+                        encoding_t=enc_t,
+                        decoding_t=dec_t,
+                        latent_downsample=F,
+                        abort_event=abort_event,
+                        progress_cb=first_pass_pbar,
+                    )
                 if samples is None:
                     return
-                samples = decode_output(samples, T_first, c_pri_sels)
-                extend_dict(all_samples, samples)
+                with stage("first_pass_decode_extend"):
+                    samples = decode_output(samples, T_first, c_pri_sels)
+                    extend_dict(all_samples, samples)
                 all_prior_inds.extend(c_pri_inds)
 
             if options.get("save_first_pass", True):
@@ -974,28 +994,50 @@ class SceneEngine:
                 group = work[g : g + n_data]
                 pad = n_data - len(group)
                 conds, shape = [], None
-                for _, _, _, _, values in group:
-                    cond, shape = build_chunk_conditioning(
-                        bundle, values, cfg=cfg2, guider_type=guider2,
-                        cfg_min=cfg_min, encoding_t=enc_t, latent_downsample=F,
+                with stage("second_pass_conditioning"):
+                    for _, _, _, _, values in group:
+                        cond, shape = build_chunk_conditioning(
+                            bundle, values, cfg=cfg2, guider_type=guider2,
+                            cfg_min=cfg_min, encoding_t=enc_t,
+                            latent_downsample=F,
+                        )
+                        conds.append(cond)
+                    conds += [conds[-1]] * pad
+                    conds_n = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *conds
                     )
-                    conds.append(cond)
-                conds += [conds[-1]] * pad
-                conds_n = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *conds
-                )
-                keys = [chunk_key(item[0]) for item in group]
-                keys_n = jnp.stack(keys + [keys[-1]] * pad)
-                xs_n = bundle.denoiser.sample_many(
-                    keys_n, bundle.plan(num_steps), conds_n, shape
-                )
+                    keys = [chunk_key(item[0]) for item in group]
+                    keys_n = jnp.stack(keys + [keys[-1]] * pad)
+                with stage("second_pass_sample_many"):
+                    xs_n = bundle.denoiser.sample_many(
+                        keys_n, bundle.plan(num_steps), conds_n, shape
+                    )
                 for j, (i, c_test_sels, c_test_inds, curr, _) in enumerate(group):
                     # second-pass frames are final output: quantize on device
                     out_dev = bundle.vae.decode_async(xs_n[j], dec_t, uint8=True)
                     _flush_second_pass_chunk(
                         (out_dev, i, c_test_sels, c_test_inds, curr)
                     )
-            for i, c_test_sels, c_test_inds, curr, values in work[n_dp:]:
+            # conditioning for every remaining chunk is staged BEFORE the
+            # first dispatch: a cond build contains blocking encode syncs
+            # which would otherwise queue behind the in-flight scan and
+            # stall the host a full scan-time between dispatches; prebuilt,
+            # the loop below is pure dispatch+flush and scans run
+            # back-to-back (~10 MB device memory per staged chunk)
+            staged = []
+            with stage("second_pass_conditioning"):
+                for _i, _sels, _inds, _curr, values in work[n_dp:]:
+                    staged.append(
+                        build_chunk_conditioning(
+                            bundle, values, cfg=cfg2, guider_type=guider2,
+                            cfg_min=cfg_min, encoding_t=enc_t,
+                            latent_downsample=F,
+                        )
+                    )
+            for (i, c_test_sels, c_test_inds, curr, values), pb in zip(
+                work[n_dp:], staged
+            ):
+              with stage("second_pass_sample"):
                 samples_dev = sample_chunk(
                     bundle,
                     values,
@@ -1015,6 +1057,7 @@ class SceneEngine:
                     # denoise; the host materializes one chunk behind
                     defer=True,
                     output_uint8=True,
+                    prebuilt=pb,
                 )
                 if samples_dev is None:
                     return
@@ -1038,17 +1081,20 @@ class SceneEngine:
                 for key, value in all_samples.items()
             }
 
-        save_output(
-            replace_or_include_input_for_dict(
-                all_samples,
-                test_indices,
-                imgs.copy(),
-                np.asarray(camera_cond["c2w"]).copy(),
-                camera_cond["K"].copy(),
+        with stage("final_save"):
+            save_output(
+                replace_or_include_input_for_dict(
+                    all_samples,
+                    test_indices,
+                    imgs.copy(),
+                    np.asarray(camera_cond["c2w"]).copy(),
+                    camera_cond["K"].copy(),
+                )
+                if options.get("replace_or_include_input", False)
+                else all_samples,
+                save_path=save_path,
+                video_save_fps=options.get("video_save_fps", 2),
             )
-            if options.get("replace_or_include_input", False)
-            else all_samples,
-            save_path=save_path,
-            video_save_fps=options.get("video_save_fps", 2),
-        )
+        if timer is not None:
+            print("[engine timing]\n" + timer.report())
         yield osp.join(save_path, "samples-rgb.mp4")
