@@ -410,6 +410,12 @@ def _await_device(max_wait_s: float) -> bool:
 
 
 if __name__ == "__main__":
+    # Persistent compilation cache: the 1.3B UNet scan compiles cost ~20+
+    # minutes through the relay; when the backend supports executable
+    # serialization, repeat bench runs skip them entirely. Harmless no-op
+    # otherwise. Must be set before jax initializes (imports live in main()).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/svc_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
     # Default window sized from observed relay outages (multi-hour tails):
     # a driver-run bench should out-wait a transient wedge, not report an
     # error two ticks into one. Override with SVC_BENCH_HEALTH_WAIT_S.

@@ -7,6 +7,7 @@ Capability parity with reference seva/eval.py:344-490
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -190,9 +191,19 @@ def resolve_anchors(
             num_input_frames if "gt" in chunk_strategy else 0,
             deliver=options.get("deliver_anchors", False),
         )
-        version_config.T = [
-            min(len(rel) + num_input_frames, T_first), T_second
-        ]
+        T_first_dense = min(len(rel) + num_input_frames, T_first)
+        # Serving knob: dense T_first varies with the workload's anchor
+        # count, and every distinct T is a fresh denoise-scan compile.
+        # SVC_TFIRST_BUCKETS="8,12,16,21" rounds UP to a fixed ladder
+        # (padded slots are NULL-planned) so a server compiles a bounded
+        # bucket set; unset = exact T (fastest for a pinned workload).
+        ladder = os.environ.get("SVC_TFIRST_BUCKETS")
+        if ladder:
+            for b in sorted(int(x) for x in ladder.split(",")):
+                if b >= T_first_dense:
+                    T_first_dense = min(b, T_first)
+                    break
+        version_config.T = [T_first_dense, T_second]
         return [float(r) for r in rel], True
     if options.get("deliver_anchors", False):
         options.set("deliver_anchors", False)
