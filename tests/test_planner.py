@@ -397,3 +397,52 @@ def test_min_anchor_fill_economy_feasible_sweep(rng):
         )
         delivered = sorted(i for c in p2.test_inds_per_chunk for i in c)
         assert delivered == list(range(N)), f"delivery mismatch at N={N}"
+
+
+def test_resolve_anchors_modes(monkeypatch):
+    """resolve_anchors: one decision point shared by renderer + CLI.
+    Reference path == infer_prior_stats count with linspace placement and
+    deliver forced off; dense path == plan_dense_anchors with T rewrite;
+    SVC_TFIRST_BUCKETS rounds the dense first-pass bucket up the ladder."""
+    N = 134
+    # reference placement (min_anchor_fill=True): 20 anchors, deliver off
+    v = VersionConfig()
+    o = EngineOptions(
+        chunk_strategy="interp-gt", min_anchor_fill=True, deliver_anchors=True
+    )
+    rel, dense = prior.resolve_anchors(21, 1, N, v, o)
+    assert not dense and len(rel) == 20
+    assert o.get("deliver_anchors") is False  # needs integer placement
+    assert rel[0] == 0.0 and rel[-1] == float(N - 1)
+
+    # dense economy: minimum count, T rewritten
+    v = VersionConfig()
+    o = EngineOptions(chunk_strategy="interp-gt", min_anchor_fill=False)
+    rel, dense = prior.resolve_anchors(21, 1, N, v, o)
+    assert dense and len(rel) == 9 and v.T == [10, 21]
+
+    # dense + deliver: one fewer anchor, narrower first pass
+    v = VersionConfig()
+    o = EngineOptions(
+        chunk_strategy="interp-gt", min_anchor_fill=False,
+        deliver_anchors=True,
+    )
+    rel, dense = prior.resolve_anchors(21, 1, N, v, o)
+    assert dense and len(rel) == 8 and v.T == [9, 21]
+
+    # serving bucket ladder rounds T_first up (9 -> 12), capped at T
+    monkeypatch.setenv("SVC_TFIRST_BUCKETS", "8,12,16,21")
+    v = VersionConfig()
+    o = EngineOptions(
+        chunk_strategy="interp-gt", min_anchor_fill=False,
+        deliver_anchors=True,
+    )
+    rel, dense = prior.resolve_anchors(21, 1, N, v, o)
+    assert v.T == [12, 21]
+
+    # semi-dense regime (>=9 inputs) falls back to the reference path
+    monkeypatch.delenv("SVC_TFIRST_BUCKETS")
+    v = VersionConfig()
+    o = EngineOptions(chunk_strategy="interp-gt", min_anchor_fill=False)
+    rel, dense = prior.resolve_anchors(21, 9, N, v, o)
+    assert not dense
