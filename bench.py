@@ -303,6 +303,11 @@ def scenario_e2e(
         preprocess_basic,
     )
 
+    # Economy T_first depends on the anchor count; pin the serving bucket
+    # ladder so the small warmup workload below compiles the SAME first-pass
+    # bucket the timed 134-frame render uses (docs/SERVING.md).
+    if economy:
+        os.environ.setdefault("SVC_TFIRST_BUCKETS", "12,21")
     bundle = _full_scale_bundle()
     work_dir = tempfile.mkdtemp(prefix="bench_e2e_")
     renderer = HeadlessRenderer(bundle, work_dir=work_dir)
@@ -310,11 +315,11 @@ def scenario_e2e(
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
 
-    def make_plan(image, seed):
+    def make_plan(image, seed, frames):
         return renderer.prepare(
             preprocess_basic(image, shorter=min(H, W)),
             preset_traj="orbit",
-            num_frames=num_frames,
+            num_frames=frames,
             zoom_factor=0.5,
             chunk_strategy="interp-gt",
             cfg=4.0,
@@ -336,11 +341,17 @@ def scenario_e2e(
     # the timed run below reuses the compiled programs. The timed plan uses
     # DIFFERENT pixels and seed (same shapes → same compiled buckets): the
     # axon relay memoizes identical dispatches, so an identical re-run would
-    # time cache lookups, not the device.
-    warm = list(renderer.run(make_plan(img, seed=23)))
+    # time cache lookups, not the device. A SMALL warmup workload (34
+    # frames) hits the same T buckets via the ladder and costs ~1/3 of a
+    # full warmup render.
+    warm_frames = min(num_frames, 34) if economy else num_frames
+    warm = list(renderer.run(make_plan(img, seed=23, frames=warm_frames)))
     assert warm, "engine produced no output (warmup)"
     img2 = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-    plan = make_plan(img2, seed=24)
+    plan = make_plan(img2, seed=24, frames=num_frames)
+    # (conditioning-encode compile buckets are schedule-local — per chunk,
+    # 1-2 newly seen frames regardless of total anchor count — so the small
+    # warmup covers them too)
     t0 = time.perf_counter()
     videos = list(renderer.run(plan))
     total = time.perf_counter() - t0
