@@ -51,20 +51,27 @@ def run() -> None:
     renderer = HeadlessRenderer(bundle, work_dir=work_dir)
     rng = np.random.default_rng(0)
 
-    def make_plan(image, seed, mode):
+    # same serving ladder as bench.py: the 34-frame warmup hits the same
+    # T_first bucket as the timed 134-frame render
+    os.environ.setdefault("SVC_TFIRST_BUCKETS", "12,21")
+
+    def make_plan(image, seed, mode, n_frames):
         return renderer.prepare(
             preprocess_basic(image, shorter=min(H, W)),
-            preset_traj="orbit", num_frames=frames, zoom_factor=0.5,
+            preset_traj="orbit", num_frames=n_frames, zoom_factor=0.5,
             chunk_strategy="interp-gt", cfg=4.0, num_steps=steps, seed=seed,
             **MODES[mode],
         )
 
     for mode in modes:
         img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-        warm = list(renderer.run(make_plan(img, seed=23, mode=mode)))
+        warm_frames = min(frames, 34) if mode != "fill" else frames
+        warm = list(
+            renderer.run(make_plan(img, seed=23, mode=mode, n_frames=warm_frames))
+        )
         assert warm, "no output (warmup)"
         img2 = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-        plan = make_plan(img2, seed=24, mode=mode)
+        plan = make_plan(img2, seed=24, mode=mode, n_frames=frames)
         t0 = time.perf_counter()
         videos = list(renderer.run(plan))
         total = time.perf_counter() - t0

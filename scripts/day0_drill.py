@@ -93,9 +93,12 @@ def synth_vae_state_dict():
             "scale": ("weight", lambda s: s),
             "bias": ("bias", lambda s: s),
         },
-        "dense": {
+        "linear": {
             "kernel": ("weight", lambda s: (s[1], s[0])),
             "bias": ("bias", lambda s: s),
+        },
+        "linear_nobias": {
+            "kernel": ("weight", lambda s: (s[1], s[0])),
         },
     }
     sd = {}
@@ -227,7 +230,6 @@ def main() -> None:
         out=osp.join(work, "scores.json"),
         num_steps=steps,
         L_short=res,
-        use_traj_prior=True,
         seed=23,
     )
     total = time.perf_counter() - t0
