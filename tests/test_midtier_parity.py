@@ -102,9 +102,14 @@ def test_unet_parity_micro(ref, monkeypatch):
     np.testing.assert_allclose(out_nchw, ref_out, atol=2e-4, rtol=1e-3)
 
 
-def test_engine_single_chunk(tmp_path):
+def test_engine_single_chunk(tmp_path, monkeypatch):
     """One single-pass engine chunk end-to-end (plan -> conditioning ->
-    denoise scan -> decode -> save) on a random micro bundle."""
+    denoise scan -> decode -> save) on a random micro bundle.
+
+    Runs with SVC_ENGINE_TIMING=1 so the StageTimer decomposition path is
+    exercised (regression: a missing import once crashed every timed render).
+    """
+    monkeypatch.setenv("SVC_ENGINE_TIMING", "1")
     from conftest import random_c2ws
     from stable_virtual_camera_tpu.engine.runner import SceneEngine
     from stable_virtual_camera_tpu.models.io import random_bundle
