@@ -388,20 +388,11 @@ class Attention(nn.Module):
                     q = jnp.einsum("blc,chd->bhld", xq, w3[:, 0])
                     k = jnp.einsum("blc,chd->bhld", xq, w3[:, 1])
                     v = jnp.einsum("blc,chd->bhld", xq, w3[:, 2])
-                # per-shape kernel dispatch: the software-pipelined v2
-                # kernel where it measured faster (ops/flash_v2.V2_WINS),
-                # the tuned upstream kernel otherwise. SVC_FLASH_V2=0/1
-                # forces one side for A/B runs.
-                from stable_virtual_camera_tpu.ops.flash_v2 import (
-                    V2_WINS,
-                    flash_v2_bhld,
-                )
-
-                v2_mode = os.environ.get("SVC_FLASH_V2", "auto")
-                if v2_mode == "1" or (v2_mode == "auto" and L in V2_WINS):
-                    o = flash_v2_bhld(q, k, v)  # (B, H, L, D)
-                else:
-                    o = flash_attention_upstream_bhld(q, k, v)
+                # Single kernel family: the tuned upstream flash kernel won
+                # every hot shape; a hand software-pipelined alternative
+                # (flash_v2) measured slower everywhere and was removed
+                # (round-3/4 journal, "flash_v2 ... NEGATIVE" closure).
+                o = flash_attention_upstream_bhld(q, k, v)  # (B, H, L, D)
                 w_out, b_out = DenseParams(
                     (inner, query_dim),
                     use_bias=True,

@@ -88,8 +88,8 @@ def quant_mode() -> str:
     "0" (off, default) | "w8a8" (dynamic) | "w8a8-static" (calibrated) |
     "w8a8-calib" (calibration pass: exact bf16 math + stat recording).
 
-    Read at TRACE time like the repo's other dispatch flags (SVC_GELU_MODE,
-    SVC_FLASH_V2): set it before the first jitted call of the process; a
+    Read at TRACE time like the repo's other dispatch flags (e.g.
+    SVC_GELU_MODE): set it before the first jitted call of the process; a
     cached executable keeps the mode it was traced with.
     """
     if _MODE_OVERRIDE is not None:

@@ -146,31 +146,6 @@ def test_flash_trainable_grads_match_xla():
         )
 
 
-@pytest.mark.parametrize(
-    "B,H,L,D",
-    [
-        (1, 2, 1296, 64),  # zero-pad path (1296 = 648*2)
-        (1, 1, 850, 64),   # masked last-block path
-        (1, 1, 1944, 64),  # odd block count (648*3): parity buffers rotate
-    ],
-)
-def test_flash_v2_matches_xla_interpret(B, H, L, D):
-    """ops/flash_v2 (software-pipelined, lagged-V drain) == plain einsum
-    attention, both the unpadded and the masked-tail block layouts."""
-    from stable_virtual_camera_tpu.ops.flash_v2 import flash_v2_bhld
-
-    rng = np.random.default_rng(11)
-    q, k, v = (
-        jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
-        for _ in range(3)
-    )
-    out = flash_v2_bhld(q, k, v, interpret=True)
-    s = jnp.einsum("bhld,bhsd->bhls", q, k) * (D**-0.5)
-    p = jax.nn.softmax(s, -1)
-    ref = jnp.einsum("bhls,bhsd->bhld", p, v)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-2)
-
-
 def test_time_attention_kernel_matches_einsum():
     """ops/time_attention.time_attention_bhds (interpret mode) == the batched
     einsum temporal attention, including the S lane-padding path (S=81)."""
@@ -198,24 +173,23 @@ def test_time_attention_kernel_matches_einsum():
         )
 
 
-def test_flash_v2_model_dispatch_matches_einsum(monkeypatch):
-    """Attention's layout-fused flash path with SVC_FLASH_V2=1 (interpret
-    mode) == the plain einsum path at the same params: proves the per-shape
-    dispatch wiring + the v2 kernel end-to-end through the module."""
+def test_flash_model_dispatch_matches_einsum():
+    """Attention's layout-fused upstream flash path (interpret mode) == the
+    plain einsum path at the same params: proves the kernel dispatch wiring
+    end-to-end through the module."""
     from jax.experimental.pallas import tpu as pltpu
 
     from stable_virtual_camera_tpu.models.unet import Attention
 
-    monkeypatch.setenv("SVC_FLASH_V2", "1")
     rng = np.random.default_rng(17)
     B, L, C = 2, 1296, 128
     x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32) * 0.3)
     att_ref = Attention(heads=2, dim_head=64, use_pallas=False)
-    att_v2 = Attention(heads=2, dim_head=64, use_pallas=True)
+    att_pl = Attention(heads=2, dim_head=64, use_pallas=True)
     params = att_ref.init(jax.random.PRNGKey(0), x)["params"]
     ref = att_ref.apply({"params": params}, x)
     with pltpu.force_tpu_interpret_mode():
-        out = att_v2.apply({"params": params}, x)
+        out = att_pl.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-2)
 
 
@@ -359,29 +333,3 @@ def test_layer_norm_fp32_matches_flax():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
-def test_flash_v2_grads_match_xla_interpret():
-    """flash_v2's custom VJP (einsum backward under interpret) == jax.grad
-    of plain einsum attention."""
-    from stable_virtual_camera_tpu.ops.flash_v2 import flash_v2_bhld
-
-    rng = np.random.default_rng(21)
-    B, H, L, D = 1, 2, 850, 64  # masked-tail block layout
-    q, k, v = (
-        jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
-        for _ in range(3)
-    )
-
-    def loss_flash(q, k, v):
-        return (flash_v2_bhld(q, k, v, True) ** 2).sum()
-
-    def loss_xla(q, k, v):
-        s = jnp.einsum("bhld,bhsd->bhls", q, k) * (D**-0.5)
-        p = jax.nn.softmax(s, -1)
-        return ((p @ v) ** 2).sum()
-
-    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    rq, rk, rv = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
-    for g, r, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
-        np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), atol=5e-3, rtol=1e-2, err_msg=name
-        )
