@@ -139,7 +139,7 @@ class HeadlessRenderer:
         zoom_factor: float | None = None,
         camera_scale: float = 2.0,
         num_steps: int = 50,
-        min_anchor_fill: bool = True,
+        min_anchor_fill: bool = False,
         deliver_anchors: bool = False,
     ) -> dict:
         """Resolve the full render plan: targets, anchors, options (incl. the

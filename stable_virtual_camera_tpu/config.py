@@ -115,14 +115,16 @@ class EngineOptions:
     replace_or_include_input: bool = False
     skip_saved: bool = False
     # TPU-specific additions (absent in the reference):
-    # min_anchor_fill=False is an opt-in speed/quality knob: keep the
-    # first-pass anchor count at the feasibility minimum
-    # ceil(N/(T-2-gt_inputs))+1 (+1 slack for anchor-placement rounding)
-    # instead of filling the first-pass window to T-1 anchors (reference
-    # seva/eval.py:404-407 always fills). Fewer anchors occupy fewer
-    # second-pass chunk slots, so the schedule needs fewer denoise scans
-    # (orbit-134: 11 -> 9); anchors are correspondingly sparser.
-    min_anchor_fill: bool = True
+    # min_anchor_fill=False (the default) keeps the first-pass anchor
+    # count at the feasibility minimum ceil(N/(T-2-gt_inputs))+1 with
+    # dense placement (engine/prior.plan_dense_anchors) instead of
+    # filling the first-pass window to T-1 anchors (reference
+    # seva/eval.py:404-407 always fills; set min_anchor_fill=True for
+    # that schedule). Fewer anchors occupy fewer second-pass chunk
+    # slots, so the schedule needs fewer denoise scans (orbit-134:
+    # 11 -> 9; measured on-chip 0.3413 vs 0.2481 f/s e2e, 1.376x —
+    # round-4 journal); anchors are correspondingly sparser.
+    min_anchor_fill: bool = False
     # deliver_anchors=True (TPU addition, opt-in): targets whose pose
     # coincides with a first-pass anchor are delivered straight from the
     # first pass instead of being re-denoised in the second pass (the

@@ -181,7 +181,9 @@ def test_deliver_anchors_renderer(tiny_renderer):
             num_steps=2, chunk_strategy="interp-gt", **kw,
         )
 
-    plan_fill = mkplan()
+    # pin the reference fill schedule explicitly: the renderer default is
+    # the dense economy schedule, so a default plan would BE the economy one
+    plan_fill = mkplan(min_anchor_fill=True)
     plan = mkplan(min_anchor_fill=False, deliver_anchors=True)
     assert plan["options"].get("deliver_anchors") is True
     assert (

@@ -190,7 +190,12 @@ def test_assemble_matches_reference(ref, rng):
 def test_infer_prior_stats_matches_reference(ref, strategy, num_inputs, num_targets):
     T = 21
     vc = VersionConfig(T=T)
-    opts = EngineOptions(chunk_strategy=strategy, sampler_verbose=False)
+    # min_anchor_fill=True pins the reference fill-to-T-1 schedule (the
+    # engine default is the measured-faster dense economy schedule; the
+    # reference behavior stays exactly reproducible behind this flag)
+    opts = EngineOptions(
+        chunk_strategy=strategy, sampler_verbose=False, min_anchor_fill=True
+    )
     ours = prior.infer_prior_stats(T, num_inputs, num_targets, vc, opts)
 
     version_dict = {"T": T, "options": {"chunk_strategy": strategy}}
