@@ -35,6 +35,7 @@ from stable_virtual_camera_tpu.core.transforms import (
 )
 from stable_virtual_camera_tpu.engine import planner
 from stable_virtual_camera_tpu.engine.saving import (
+    StreamingFrameWriter,
     decode_output,
     extend_dict,
     get_k_from_dict,
@@ -47,6 +48,7 @@ from stable_virtual_camera_tpu.engine.value_dict import ChunkValues, build_chunk
 from stable_virtual_camera_tpu.models.clip import ClipVisionTower, preprocess
 from stable_virtual_camera_tpu.models.vae import AutoEncoderKL
 from stable_virtual_camera_tpu.sampling import guidance
+from stable_virtual_camera_tpu.utils.profiling import StageTimer
 from stable_virtual_camera_tpu.sampling.discretization import DDPMDiscretization
 from stable_virtual_camera_tpu.sampling.sampler import (
     ChunkConditioning,
@@ -527,6 +529,7 @@ class SceneEngine:
         # opt-in per-stage wall decomposition (SVC_ENGINE_TIMING=1): where a
         # render's non-scan time goes — printed at scene end
         timer = StageTimer() if os.environ.get("SVC_ENGINE_TIMING") else None
+        sp_writer = fp_writer = None  # set in the two-pass branch (stream_save)
         stage = (
             timer.stage if timer else (lambda name: contextlib.nullcontext())
         )
@@ -741,54 +744,58 @@ class SceneEngine:
                     plan1.test_sels_per_chunk,
                 )
             ):
-                (
-                    curr_input_sels,
-                    curr_prior_sels,
-                    curr_input_maps,
-                    curr_prior_maps,
-                ) = planner.pad_indices(
-                    c_in_sels,
-                    c_pri_sels,
-                    T=T_first,
-                    padding_mode=options.get("t_padding_mode", "last"),
-                )
-                gen = get_k_from_dict(all_samples, "samples-rgb")
-                pool_imgs = np.concatenate(
-                    [input_imgs, gen.reshape((-1,) + input_imgs.shape[1:])], 0
-                )
-                pool_clip = np.concatenate(
-                    [input_imgs_clip, gen.reshape((-1,) + input_imgs.shape[1:])], 0
-                )
-                pool_c2ws = np.concatenate(
-                    [input_c2ws, traj_prior_c2ws[all_prior_inds]], 0
-                )
-                pool_Ks = np.concatenate([input_Ks, traj_prior_Ks[all_prior_inds]], 0)
-                curr = [
-                    planner.assemble(
-                        input=x[c_in_inds],
-                        test=y[c_pri_inds],
-                        input_maps=curr_input_maps,
-                        test_maps=curr_prior_maps,
+                with stage("first_pass_build"):
+                    (
+                        curr_input_sels,
+                        curr_prior_sels,
+                        curr_input_maps,
+                        curr_prior_maps,
+                    ) = planner.pad_indices(
+                        c_in_sels,
+                        c_pri_sels,
+                        T=T_first,
+                        padding_mode=options.get("t_padding_mode", "last"),
                     )
-                    for x, y in zip(
-                        [pool_imgs, pool_clip, pool_c2ws, pool_Ks],
-                        [
-                            traj_prior_imgs,
-                            traj_prior_imgs_clip,
-                            traj_prior_c2ws,
-                            traj_prior_Ks,
-                        ],
+                    gen = get_k_from_dict(all_samples, "samples-rgb")
+                    pool_imgs = np.concatenate(
+                        [input_imgs, gen.reshape((-1,) + input_imgs.shape[1:])], 0
                     )
-                ]
-                curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
-                values = chunk_values_for(
-                    curr_imgs,
-                    curr_imgs_clip,
-                    curr_input_sels,
-                    curr_c2ws,
-                    curr_Ks,
-                    list(range(T_first)),
-                )
+                    pool_clip = np.concatenate(
+                        [input_imgs_clip, gen.reshape((-1,) + input_imgs.shape[1:])],
+                        0,
+                    )
+                    pool_c2ws = np.concatenate(
+                        [input_c2ws, traj_prior_c2ws[all_prior_inds]], 0
+                    )
+                    pool_Ks = np.concatenate(
+                        [input_Ks, traj_prior_Ks[all_prior_inds]], 0
+                    )
+                    curr = [
+                        planner.assemble(
+                            input=x[c_in_inds],
+                            test=y[c_pri_inds],
+                            input_maps=curr_input_maps,
+                            test_maps=curr_prior_maps,
+                        )
+                        for x, y in zip(
+                            [pool_imgs, pool_clip, pool_c2ws, pool_Ks],
+                            [
+                                traj_prior_imgs,
+                                traj_prior_imgs_clip,
+                                traj_prior_c2ws,
+                                traj_prior_Ks,
+                            ],
+                        )
+                    ]
+                    curr_imgs, curr_imgs_clip, curr_c2ws, curr_Ks = curr
+                    values = chunk_values_for(
+                        curr_imgs,
+                        curr_imgs_clip,
+                        curr_input_sels,
+                        curr_c2ws,
+                        curr_Ks,
+                        list(range(T_first)),
+                    )
                 use_second_sampler = (
                     len(guiders) > 1
                     and options.get("ltr_first_pass", False)
@@ -820,12 +827,28 @@ class SceneEngine:
                     extend_dict(all_samples, samples)
                 all_prior_inds.extend(c_pri_inds)
 
+            # Frame PNGs stream to a background writer and overlap the
+            # remaining denoise scans (identical bytes; saving.py). Disabled
+            # when input splicing rewrites frames at save time, or via
+            # stream_save=False.
+            stream_save = options.get("stream_save", True) and not options.get(
+                "replace_or_include_input", False
+            )
+            fp_writer = None
             if options.get("save_first_pass", True):
-                save_output(
-                    all_samples,
-                    save_path=osp.join(save_path, "first-pass"),
-                    video_save_fps=5,
-                )
+                with stage("first_pass_save"):
+                    if stream_save:
+                        fp_writer = StreamingFrameWriter(
+                            osp.join(save_path, "first-pass", "samples-rgb")
+                        )
+                        fp_frames = get_k_from_dict(all_samples, "samples-rgb")
+                        fp_writer.submit(range(len(fp_frames)), fp_frames)
+                    save_output(
+                        all_samples,
+                        save_path=osp.join(save_path, "first-pass"),
+                        video_save_fps=5,
+                        skip_png_keys=("samples-rgb",) if stream_save else (),
+                    )
                 yield osp.join(save_path, "first-pass", "samples-rgb.mp4")
 
             # ------------- second pass: interpolate all targets -------------
@@ -853,6 +876,18 @@ class SceneEngine:
             update_kv_for_dict(all_samples, "samples-rgb", traj_prior_imgs)
             update_kv_for_dict(all_samples, "samples-c2ws", traj_prior_c2ws)
             update_kv_for_dict(all_samples, "samples-intrinsics", traj_prior_Ks)
+
+            with stage("second_pass_prime"):
+                if os.environ.get("SVC_COND_CACHE", "1") != "0":
+                    # Prime the per-frame encode/embed caches with every
+                    # candidate second-pass conditioning frame (inputs +
+                    # anchors) in ONE batched dispatch each. Without this,
+                    # each chunk's conditioning build pays a relay-priced
+                    # device dispatch for its newly-seen anchor (~2 extra
+                    # dispatches per chunk); primed, every per-chunk
+                    # encode/embed below is a cache hit.
+                    bundle.vae.encode_cached(traj_prior_imgs, enc_t)
+                    bundle.clip.embed_cached(traj_prior_imgs_clip)
 
             strategy2 = options.get("chunk_strategy", "nearest")
             deliver = (
@@ -887,17 +922,18 @@ class SceneEngine:
             test_imgs_clip2 = test_imgs_clip[keep]
             test_c2ws2 = test_c2ws[keep]
             test_Ks2 = test_Ks[keep]
-            plan2 = planner.chunk_input_and_test(
-                T_second,
-                traj_prior_c2ws,
-                test_c2ws2,
-                prior_indices,
-                test_indices2,
-                options=options,
-                task=task,
-                chunk_strategy=strategy2,
-                gt_input_inds=gt_input_inds,
-            )
+            with stage("second_pass_plan"):
+                plan2 = planner.chunk_input_and_test(
+                    T_second,
+                    traj_prior_c2ws,
+                    test_c2ws2,
+                    prior_indices,
+                    test_indices2,
+                    options=options,
+                    task=task,
+                    chunk_strategy=strategy2,
+                    gt_input_inds=gt_input_inds,
+                )
             print(
                 f"Two passes (second) - chunking with `{strategy2}` strategy: total "
                 f"{len(plan2.input_inds_per_chunk)} forward(s) ..."
@@ -906,7 +942,14 @@ class SceneEngine:
             all_test_inds = []
             pending: list = []  # 1-deep device pipeline (see defer=True below)
 
+            sp_writer = (
+                StreamingFrameWriter(osp.join(save_path, "samples-rgb"))
+                if stream_save
+                else None
+            )
+
             def _flush_second_pass_chunk(item):
+              with stage("second_pass_flush"):
                 samples_dev, i, c_test_sels, c_test_inds, curr = item
                 curr_imgs, _, curr_c2ws, curr_Ks = curr
                 samples = decode_output(np.asarray(samples_dev), T_second, c_test_sels)
@@ -921,21 +964,29 @@ class SceneEngine:
                 extend_dict(all_samples, samples)
                 # c_test_inds index the (possibly anchor-reduced) test arrays;
                 # map back to positions in the full target list
-                all_test_inds.extend(keep[k] for k in c_test_inds)
+                final_inds = [keep[k] for k in c_test_inds]
+                all_test_inds.extend(final_inds)
+                if sp_writer is not None:
+                    frames = samples.get("samples-rgb/image")
+                    if frames is not None:
+                        # a chunk's final frame indices are known at flush
+                        # time: PNG encodes overlap the next chunk's scan
+                        sp_writer.submit(final_inds, frames)
 
             # host-assemble every chunk up front (cheap numpy): second-pass
             # chunks depend only on the fixed anchors, so they can run
             # serially (1-deep device pipeline) or data-parallel over the
             # mesh's 'data' axis (sample_many)
             work = []
-            for i, (c_pri_inds, c_pri_sels, c_test_inds, c_test_sels) in enumerate(
+            with stage("second_pass_build"):
+              for i, (c_pri_inds, c_pri_sels, c_test_inds, c_test_sels) in enumerate(
                 zip(
                     plan2.input_inds_per_chunk,
                     plan2.input_sels_per_chunk,
                     plan2.test_inds_per_chunk,
                     plan2.test_sels_per_chunk,
                 )
-            ):
+              ):
                 (
                     curr_prior_sels,
                     curr_test_sels,
@@ -1071,17 +1122,23 @@ class SceneEngine:
                 # target positions (same dtype/op order as the device-side
                 # uint8 decode: to_uint8 is byte-identical to decode_uint8)
                 rows = [r for _, r in delivered]
-                extend_dict(
-                    all_samples,
-                    {"samples-rgb/image": to_uint8(traj_prior_imgs[rows])},
-                )
+                spliced = to_uint8(traj_prior_imgs[rows])
+                extend_dict(all_samples, {"samples-rgb/image": spliced})
                 all_test_inds.extend(j for j, _ in delivered)
+                if sp_writer is not None:
+                    sp_writer.submit([j for j, _ in delivered], spliced)
             all_samples = {
                 key: value[np.argsort(all_test_inds, kind="stable")]
                 for key, value in all_samples.items()
             }
 
         with stage("final_save"):
+            skip_pngs = ()
+            if sp_writer is not None:
+                sp_writer.drain()
+                if fp_writer is not None:
+                    fp_writer.drain()
+                skip_pngs = ("samples-rgb",)
             save_output(
                 replace_or_include_input_for_dict(
                     all_samples,
@@ -1094,6 +1151,7 @@ class SceneEngine:
                 else all_samples,
                 save_path=save_path,
                 video_save_fps=options.get("video_save_fps", 2),
+                skip_png_keys=skip_pngs,
             )
         if timer is not None:
             print("[engine timing]\n" + timer.report())

@@ -29,7 +29,64 @@ def to_uint8(value: np.ndarray) -> np.ndarray:
     return np.clip(v * 255.0, 0, 255).astype(np.uint8)
 
 
-def save_output(samples: dict, save_path: str, video_save_fps: float = 2) -> None:
+class StreamingFrameWriter:
+    """Per-frame PNG writes on a background thread, overlapped with the
+    device's denoise scans.
+
+    `save_output`'s "image" media writes one PNG per frame after every chunk
+    has finished; on a long trajectory that is seconds of pure host work at
+    the tail of the render. A second-pass chunk knows each of its frames'
+    FINAL index at flush time, so the PNG encodes can ride the idle host
+    time under the next chunk's scan instead (the engine then passes
+    `skip_png_keys` to `save_output` so nothing is written twice). Bytes on
+    disk are identical to the synchronous path; `drain()` re-raises the
+    first worker error."""
+
+    def __init__(self, dir_path: str):
+        import queue
+        import threading
+
+        self.dir = dir_path
+        os.makedirs(dir_path, exist_ok=True)
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: BaseException | None = None
+        self._t = threading.Thread(
+            target=self._run, name="svc-frame-writer", daemon=True
+        )
+        self._t.start()
+
+    def submit(self, indices, frames) -> None:
+        """Queue frames (any float/uint8 layout `to_uint8` accepts) to be
+        written as `<dir>/<index:03d>.png`."""
+        frames = to_uint8(np.asarray(frames))
+        for i, frame in zip(indices, frames):
+            self._q.put((int(i), frame))
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                i, frame = item
+                iio.imwrite(osp.join(self.dir, f"{i:03d}.png"), frame)
+            except BaseException as e:  # pragma: no cover - surfaced by drain
+                if self._err is None:
+                    self._err = e
+
+    def drain(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
+def save_output(
+    samples: dict,
+    save_path: str,
+    video_save_fps: float = 2,
+    skip_png_keys: tuple = (),
+) -> None:
     os.makedirs(save_path, exist_ok=True)
     for sample in samples:
         media_type = "video"
@@ -46,6 +103,8 @@ def save_output(samples: dict, save_path: str, video_save_fps: float = 2) -> Non
                 frames,
                 fps=video_save_fps,
             )
+            if sample_ in skip_png_keys:
+                continue  # already streamed by a StreamingFrameWriter
             os.makedirs(osp.join(save_path, sample_), exist_ok=True)
             for i, frame in enumerate(frames):
                 iio.imwrite(osp.join(save_path, sample_, f"{i:03d}.png"), frame)
