@@ -79,3 +79,54 @@ def test_preprocessor_fallback():
     np.testing.assert_allclose(c2ws[0], np.eye(4))
     assert Ks.shape == (2, 3, 3)
     assert Ks[0, 0, 2] == pytest.approx(320)  # cx = W/2
+
+
+def test_streaming_frame_writer_matches_sync_save(tmp_path):
+    """StreamingFrameWriter (background per-frame PNGs, engine stream_save)
+    produces byte-identical files to save_output's synchronous PNG loop,
+    including out-of-order submission and the skip_png_keys handoff."""
+    import os.path as osp
+
+    from stable_virtual_camera_tpu.engine.saving import (
+        StreamingFrameWriter,
+        save_output,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(-1, 1, size=(7, 16, 16, 3)).astype(np.float32)
+    sync_dir = str(tmp_path / "sync")
+    save_output({"samples-rgb/image": frames}, sync_dir, video_save_fps=4)
+
+    stream_dir = str(tmp_path / "stream")
+    writer = StreamingFrameWriter(osp.join(stream_dir, "samples-rgb"))
+    # chunks flush out of order in the data-parallel path; indices are final
+    writer.submit([4, 5, 6], frames[4:])
+    writer.submit([0, 1, 2, 3], frames[:4])
+    save_output(
+        {"samples-rgb/image": frames},
+        stream_dir,
+        video_save_fps=4,
+        skip_png_keys=("samples-rgb",),
+    )
+    writer.drain()
+
+    for i in range(7):
+        a = open(osp.join(sync_dir, "samples-rgb", f"{i:03d}.png"), "rb").read()
+        b = open(osp.join(stream_dir, "samples-rgb", f"{i:03d}.png"), "rb").read()
+        assert a == b, f"frame {i} differs"
+    # the mp4 is still written by save_output on both paths
+    assert osp.exists(osp.join(stream_dir, "samples-rgb.mp4"))
+
+
+def test_streaming_frame_writer_drain_raises(tmp_path):
+    """A worker-side write failure surfaces at drain(), not silently."""
+    from stable_virtual_camera_tpu.engine.saving import StreamingFrameWriter
+
+    writer = StreamingFrameWriter(str(tmp_path / "d"))
+    bad = np.zeros((1, 4, 4, 3), np.float32)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "d"))  # rip the directory out from under it
+    writer.submit([0], bad)
+    with pytest.raises(Exception):
+        writer.drain()
