@@ -238,6 +238,7 @@ def warmup_buckets(bundle, version, num_steps=50):
     will use)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from stable_virtual_camera_tpu.sampling.discretization import (
         DDPMDiscretization,
@@ -278,6 +279,20 @@ def warmup_buckets(bundle, version, num_steps=50):
                 bundle.vae.decode_async(z(n, h, w, 4), None, uint8=u8)
             )
         print(f"[server] warmed VAE decode bucket n={n} ({time.time() - t0:.1f}s)")
+        # conditioning-cache priming ("second_pass_prime" in the engine)
+        # encodes inputs+anchors as ONE pow2-bucketed dispatch per scene;
+        # with T_first-bounded anchor counts the prime batch lands in the
+        # same n bucket ladder — precompile encode + CLIP embed for it
+        # (uncached jitted calls; nothing enters the per-frame caches)
+        t0 = time.time()
+        H_, W_ = h * 8, w * 8
+        bundle.vae.encode(np.zeros((n, H_, W_, 3), np.float32), 0)
+        if getattr(bundle, "clip", None) is not None:
+            bundle.clip.embed(np.zeros((n, H_, W_, 3), np.float32))
+        print(
+            f"[server] warmed encode/embed prime bucket n={n} "
+            f"({time.time() - t0:.1f}s)"
+        )
 
 
 def build_http_server(service: RenderService, host="127.0.0.1", port=0):
