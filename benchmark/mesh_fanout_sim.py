@@ -25,7 +25,12 @@ from stable_virtual_camera_tpu.config import EngineOptions, VersionConfig
 from stable_virtual_camera_tpu.engine import planner, prior
 
 T = 21
-SCAN_S = 39.0  # measured per-T=21-scan wall (denoise 50 steps + decode)
+# measured per-T=21-scan wall (denoise 50 steps + deferred decode + flush
+# sync; back-computed from the round-4 bench: (351.8 - 20.5 first pass -
+# 13 host) / 8 chunks) and fixed host overhead per render
+# (prime/build/saves/prepare) — bench decomposition in docs/ARCHITECTURE.md
+SCAN_S = 39.8
+HOST_S = 13.0
 
 
 def plan_schedule(N: int, mode: str):
@@ -39,6 +44,8 @@ def plan_schedule(N: int, mode: str):
     version = VersionConfig()
 
     if mode == "fill":
+        # pin the reference schedule: the EngineOptions default is economy
+        opts = opts.update(dict(min_anchor_fill=True))
         na = prior.infer_prior_stats(T, num_inputs, N, version, opts)
         anchor_idx = [
             round(i) for i in np.linspace(num_inputs, num_inputs + N - 1, na)
@@ -87,7 +94,7 @@ def main() -> None:
             # First pass is sequential (anchors feed back autoregressively
             # across its chunks).
             groups = -(-n2 // D)
-            wall = n1 * SCAN_S * T_first / T + groups * SCAN_S
+            wall = n1 * SCAN_S * T_first / T + groups * SCAN_S + HOST_S
             rows.append(
                 {
                     "mode": mode,
