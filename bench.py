@@ -349,11 +349,13 @@ def scenario_e2e(
     assert warm, "engine produced no output (warmup)"
     img2 = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
     plan = make_plan(img2, seed=24, frames=num_frames)
-    # The engine primes its encode/embed caches with ALL second-pass
-    # conditioning frames in one batched dispatch (runner "second_pass_prime")
-    # whose shape bucket grows with the anchor count — prewarm that bucket
-    # (the small warmup's anchor count lands in a smaller one).
-    n_prime = 1 + np.asarray(plan["anchor_c2ws"]).shape[0]
+    # The engine primes its encode/embed caches with the second-pass
+    # conditioning frames in one batched dispatch (runner "second_pass_prime").
+    # By prime time the INPUT frames are already cached (the first pass
+    # encoded them), so the prime batch is exactly the ANCHOR count — prewarm
+    # that pow2 bucket (the small warmup's anchor count lands in a smaller
+    # one; a mismatched guess here costs a ~40 s in-render compile).
+    n_prime = np.asarray(plan["anchor_c2ws"]).shape[0]
     dummy = rng.uniform(-1, 1, size=(n_prime, H, W, 3)).astype(np.float32)
     bundle.vae.encode_cached(dummy, 0)
     bundle.clip.embed_cached(dummy)

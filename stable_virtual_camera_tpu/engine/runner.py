@@ -880,14 +880,22 @@ class SceneEngine:
             with stage("second_pass_prime"):
                 if os.environ.get("SVC_COND_CACHE", "1") != "0":
                     # Prime the per-frame encode/embed caches with every
-                    # candidate second-pass conditioning frame (inputs +
-                    # anchors) in ONE batched dispatch each. Without this,
-                    # each chunk's conditioning build pays a relay-priced
-                    # device dispatch for its newly-seen anchor (~2 extra
-                    # dispatches per chunk); primed, every per-chunk
-                    # encode/embed below is a cache hit.
-                    bundle.vae.encode_cached(traj_prior_imgs, enc_t)
-                    bundle.clip.embed_cached(traj_prior_imgs_clip)
+                    # generated anchor frame in ONE batched dispatch each.
+                    # Without this, each chunk's conditioning build pays a
+                    # relay-priced device dispatch for its newly-seen anchor
+                    # (~2 extra dispatches per chunk); primed, every
+                    # per-chunk encode/embed below is a cache hit. The gt
+                    # input rows are excluded EXPLICITLY (the first pass
+                    # already cached them) so the prime batch — and hence
+                    # its pow2 compile bucket — is always exactly the
+                    # anchor count, independent of cache state (a warmup /
+                    # server can precompile it from the plan alone).
+                    gt_set = set(gt_input_inds)
+                    gen_rows = [
+                        j for j in range(len(traj_prior_imgs)) if j not in gt_set
+                    ]
+                    bundle.vae.encode_cached(traj_prior_imgs[gen_rows], enc_t)
+                    bundle.clip.embed_cached(traj_prior_imgs_clip[gen_rows])
 
             strategy2 = options.get("chunk_strategy", "nearest")
             deliver = (
