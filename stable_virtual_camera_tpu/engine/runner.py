@@ -17,6 +17,7 @@ TPU-native differences (by design, documented):
 
 from __future__ import annotations
 
+import concurrent.futures
 import contextlib
 import hashlib
 import os
@@ -948,7 +949,15 @@ class SceneEngine:
             )
             all_samples = {}
             all_test_inds = []
-            pending: list = []  # 1-deep device pipeline (see defer=True below)
+            # Chunk flushes (decode sync + host transfer + extend + PNG
+            # submit, ~5 s each on the relay) run on ONE ordered worker
+            # thread so they overlap the next chunk's dispatch-block instead
+            # of serializing between dispatches. FIFO worker == serial
+            # ordering; errors re-raise at the join below.
+            flush_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="svc-flush"
+            )
+            flush_futs: list = []
 
             sp_writer = (
                 StreamingFrameWriter(osp.join(save_path, "samples-rgb"))
@@ -1049,6 +1058,9 @@ class SceneEngine:
             n_dp = len(work) if use_dp else 0
             for g in range(0, n_dp, n_data):
                 if abort_event is not None and abort_event.is_set():
+                    for f in flush_futs:
+                        f.result()
+                    flush_pool.shutdown(wait=True)
                     return
                 group = work[g : g + n_data]
                 pad = n_data - len(group)
@@ -1074,8 +1086,11 @@ class SceneEngine:
                 for j, (i, c_test_sels, c_test_inds, curr, _) in enumerate(group):
                     # second-pass frames are final output: quantize on device
                     out_dev = bundle.vae.decode_async(xs_n[j], dec_t, uint8=True)
-                    _flush_second_pass_chunk(
-                        (out_dev, i, c_test_sels, c_test_inds, curr)
+                    flush_futs.append(
+                        flush_pool.submit(
+                            _flush_second_pass_chunk,
+                            (out_dev, i, c_test_sels, c_test_inds, curr),
+                        )
                     )
             # conditioning for every remaining chunk is staged BEFORE the
             # first dispatch: a cond build contains blocking encode syncs
@@ -1113,18 +1128,27 @@ class SceneEngine:
                     abort_event=abort_event,
                     progress_cb=second_pass_pbar,
                     # chunk i's decode queues on-device behind chunk i+1's
-                    # denoise; the host materializes one chunk behind
+                    # denoise; the flush worker materializes it while the
+                    # host blocks on chunk i+1's dispatch
                     defer=True,
                     output_uint8=True,
                     prebuilt=pb,
                 )
                 if samples_dev is None:
+                    for f in flush_futs:
+                        f.result()
+                    flush_pool.shutdown(wait=True)
                     return
-                pending.append((samples_dev, i, c_test_sels, c_test_inds, curr))
-                if len(pending) > 1:
-                    _flush_second_pass_chunk(pending.pop(0))
-            while pending:
-                _flush_second_pass_chunk(pending.pop(0))
+                flush_futs.append(
+                    flush_pool.submit(
+                        _flush_second_pass_chunk,
+                        (samples_dev, i, c_test_sels, c_test_inds, curr),
+                    )
+                )
+            with stage("second_pass_flush_join"):
+                for f in flush_futs:
+                    f.result()  # re-raises worker errors, preserves order
+                flush_pool.shutdown(wait=True)
             if delivered:
                 # splice the first-pass anchor frames in at their coincident
                 # target positions (same dtype/op order as the device-side
