@@ -165,6 +165,25 @@ class VaeApplier:
     def decode(self, z: np.ndarray, chunk_size: int | None = None) -> np.ndarray:
         return self._chunked(self._decode, self._decode_map, z, chunk_size)
 
+    def fused_decode_uint8(self):
+        """(fn, params) for tracing the uint8 decode INTO another jitted
+        program (UNetDenoiser `post=`): fn(params, z) pads the batch to the
+        same pow2 bucket `decode_async` uses and applies
+        AutoEncoderKL.decode_uint8 — one denoise+decode dispatch per chunk
+        instead of two programs with an HBM round-trip and a relay
+        program-switch between them. Params flow as an argument (never
+        captured constants)."""
+        module = self.module
+
+        def fn(p, z):
+            n = z.shape[0]
+            bucket = 1 << (n - 1).bit_length()
+            if bucket != n:
+                z = jnp.pad(z, ((0, bucket - n),) + ((0, 0),) * (z.ndim - 1))
+            return module.apply({"params": p}, z, method=module.decode_uint8)[:n]
+
+        return fn, self.params
+
     def decode_async(
         self,
         z: jnp.ndarray,
@@ -371,11 +390,31 @@ def sample_chunk(
             encoding_t=encoding_t, latent_downsample=latent_downsample,
         )
     if base_key is not None:
+        # Fused scan+decode (SVC_FUSED_DECODE): when the chunk's frames go
+        # straight to the uint8 save sink, the VAE decode is traced INTO
+        # the keyed sampling program — one dispatch per chunk instead of
+        # scan-then-decode (saves the intermediate HBM materialization and
+        # a relay program-switch). Single-device flat-decode buckets only;
+        # bit-compat is covered by tests/test_sampling fused-parity.
+        fuse = (
+            output_uint8
+            and not decoding_t
+            and os.environ.get("SVC_FUSED_DECODE", "0") == "1"
+        )
+        post = (
+            ("decu8", *bundle.vae.fused_decode_uint8()) if fuse else None
+        )
         x = bundle.denoiser.sample_from_key(
             (T, h, w, C), bundle.plan(num_steps), cond, base_key,
             np.array([pass_id, chunk_id], np.int32),
             progress_cb=progress_cb, abort_event=abort_event,
+            post=post,
         )
+        if x is not None and post is not None:
+            # x is already decoded uint8 frames (or latents if the sampler
+            # fell back to a sharded bucket — detect by dtype)
+            if x.dtype == jnp.uint8:
+                return x if defer else np.asarray(x)
     else:
         key_init, key_loop = jax.random.split(key)
         noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)

@@ -818,6 +818,7 @@ class UNetDenoiser:
         pass_chunk,
         progress_cb=None,
         abort_event=None,
+        post=None,
     ) -> jnp.ndarray | None:
         """`sample`, but with EVERY per-chunk PRNG op inside the jitted
         program: chunk key = fold_in(fold_in(base_key, pass_id), chunk_id),
@@ -833,11 +834,23 @@ class UNetDenoiser:
 
         An AOT artifact pinned for this bucket is composed INSIDE the keyed
         program (`Exported.call` is traceable): the serialized scan still
-        runs bit-identically, wrapped by the traced key/noise derivation."""
+        runs bit-identically, wrapped by the traced key/noise derivation.
+
+        `post=(name, fn, params)` traces a postprocess (e.g. the VAE's
+        uint8 decode, VaeApplier.fused_decode_uint8) into the SAME program:
+        one dispatch per chunk instead of scan-then-decode. Single-device
+        buckets only (the view-sharded programs keep the separate decode);
+        `fn(params, x)` must be traceable and `params` flows as a jit
+        argument."""
         T, h, w, C = shape
         self.ensure_quant_calibrated(shape, plan, cond)
         plan_host = plan_as_host(plan)
         pass_chunk = np.asarray(pass_chunk, np.int32)
+        sharded_T = (
+            self.mesh is not None and T % self.mesh.shape.get("view", 1) == 0
+        )
+        if post is not None and sharded_T:
+            post = None  # sharded buckets keep the separate decode program
 
         def _derive(pkey, pc):
             key = jax.random.fold_in(jax.random.fold_in(pkey, pc[0]), pc[1])
@@ -846,7 +859,10 @@ class UNetDenoiser:
             return noise, key_loop
 
         def _scan_keyed():
-            bucket = ("scank", T, h, w, plan.num_steps)
+            bucket = (
+                "scank" if post is None else f"scank+{post[0]}",
+                T, h, w, plan.num_steps,
+            )
             if bucket not in self._jitted:
                 scan_bucket = ("scan", T, h, w, plan.num_steps)
                 inner = (
@@ -855,13 +871,28 @@ class UNetDenoiser:
                     else self.make_scan_fn(T)
                 )
 
-                def run(params, plan_arrays, cond, pkey, pc):
-                    noise, key_loop = _derive(pkey, pc)
-                    return inner(params, noise, plan_arrays, cond, key_loop)
+                if post is None:
 
-                self._jitted[bucket] = self._jit_keyed(run, T)
+                    def run(params, plan_arrays, cond, pkey, pc):
+                        noise, key_loop = _derive(pkey, pc)
+                        return inner(params, noise, plan_arrays, cond, key_loop)
+
+                    self._jitted[bucket] = self._jit_keyed(run, T)
+                else:
+                    post_fn = post[1]
+
+                    def run_post(params, plan_arrays, cond, pkey, pc, pparams):
+                        noise, key_loop = _derive(pkey, pc)
+                        x = inner(params, noise, plan_arrays, cond, key_loop)
+                        return post_fn(pparams, x)
+
+                    self._jitted[bucket] = jax.jit(run_post)
+            if post is None:
+                return self._jitted[bucket](
+                    self.params, plan_host, cond, base_key, pass_chunk
+                )
             return self._jitted[bucket](
-                self.params, plan_host, cond, base_key, pass_chunk
+                self.params, plan_host, cond, base_key, pass_chunk, post[2]
             )
 
         if progress_cb is None and abort_event is None:
@@ -874,12 +905,18 @@ class UNetDenoiser:
             not stepwise and not sharded and not pinned and io_callback_supported()
         )
         if use_in_scan:
-            bucket = ("scank-tracked", T, h, w, plan.num_steps)
+            bucket = (
+                "scank-tracked" if post is None else f"scank-tracked+{post[0]}",
+                T, h, w, plan.num_steps,
+            )
             if bucket not in self._jitted:
+                post_fn = None if post is None else post[1]
 
-                def run_tracked(params, plan_arrays, cond, pkey, pc, handle, _T=T):
+                def run_tracked(
+                    params, plan_arrays, cond, pkey, pc, handle, *pp, _T=T
+                ):
                     noise, key_loop = _derive(pkey, pc)
-                    return euler_edm_sample(
+                    x = euler_edm_sample(
                         self._bound_network(params, cond, _T),
                         noise,
                         plan_arrays,
@@ -888,15 +925,19 @@ class UNetDenoiser:
                         num_frames=_T,
                         tick_handle=handle,
                     )
+                    return x if post_fn is None else post_fn(pp[0], x)
 
-                self._jitted[bucket] = self._jit_keyed(
-                    run_tracked, T, n_extra_scalars=1
+                self._jitted[bucket] = (
+                    self._jit_keyed(run_tracked, T, n_extra_scalars=1)
+                    if post is None
+                    else jax.jit(run_tracked)
                 )
             handle = register_tick(progress_cb, abort_event)
             try:
+                extra = () if post is None else (post[2],)
                 x = self._jitted[bucket](
                     self.params, plan_host, cond, base_key, pass_chunk,
-                    jnp.int32(handle),
+                    jnp.int32(handle), *extra,
                 )
                 x.block_until_ready()
             finally:
@@ -923,10 +964,13 @@ class UNetDenoiser:
         )
         key_init, key_loop = jax.random.split(key)
         noise = jax.random.normal(key_init, (T, h, w, C), jnp.float32)
-        return self.sample(
+        x = self.sample(
             noise, plan, cond, key_loop,
             progress_cb=progress_cb, abort_event=abort_event,
         )
+        if x is None or post is None:
+            return x
+        return post[1](post[2], x)  # eager post keeps the output contract
 
     def sample_many(self, keys, plan, conds, latent_shape):
         """Denoise N independent chunks in ONE program, vmapped over the

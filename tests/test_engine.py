@@ -317,3 +317,36 @@ def test_two_pass_economy_anchors(bundle, tmp_path):
     assert results[True][0] > results[False][0]  # fewer anchors in economy mode
     assert results[False][1] == [results[False][0] + num_inputs, T]  # shrunk bucket
     assert results[True][2] == results[False][2] == N  # all targets delivered
+
+
+def test_fused_decode_matches_default(bundle, tmp_path, monkeypatch):
+    """SVC_FUSED_DECODE=1 (VAE uint8 decode traced into the second pass's
+    keyed sampling program — one dispatch per chunk) produces the same
+    frames as the default scan-then-decode path to one uint8 quantization
+    step (compile variation across program boundaries)."""
+    import glob
+
+    import imageio.v3 as iio
+
+    rng = np.random.default_rng(3)
+    prior_c2ws = random_c2ws(rng, 2).astype(np.float32)[:, :3]
+    kw = dict(
+        chunk_strategy="nearest", chunk_strategy_first_pass="gt",
+        guider_types=[1, 2], cfg=[2.0, 2.0],
+    )
+
+    def frames(subdir):
+        save_path, _ = _run(
+            bundle, tmp_path, _options(**kw), use_traj_prior=True,
+            prior_indices=[1.5, 3.5], prior_c2ws=prior_c2ws, subdir=subdir,
+        )
+        pngs = sorted(glob.glob(osp.join(save_path, "samples-rgb", "*.png")))
+        assert pngs
+        return np.stack([iio.imread(p) for p in pngs])
+
+    monkeypatch.setenv("SVC_FUSED_DECODE", "0")
+    base = frames("unfused")
+    monkeypatch.setenv("SVC_FUSED_DECODE", "1")
+    fused = frames("fused")
+    assert fused.shape == base.shape
+    assert np.max(np.abs(fused.astype(int) - base.astype(int))) <= 1

@@ -500,3 +500,57 @@ def test_sample_from_key_tracked_and_coarse(rng, monkeypatch):
         den.sample_from_key((T, h, w, 4), plan, cond, base_key, pc, abort_event=ev)
         is None
     )
+
+
+def test_sample_from_key_fused_post_matches_separate_decode(rng):
+    """post=(name, fn, params) traces a postprocess (the VAE uint8 decode in
+    the engine, runner SVC_FUSED_DECODE) into the keyed program. The fused
+    one-dispatch output must match post(sample_from_key(...)) run as two
+    programs to within one uint8 quantization step (compile variation), and
+    the tracked (progress/abort) path must honor post too."""
+    from stable_virtual_camera_tpu.sampling.sampler import UNetDenoiser
+
+    class DummyModule:
+        def apply(self, variables, net_in, t_vec, crossattn, dense, num_frames):
+            tt = (t_vec.astype(jnp.float32) / 1000.0)[:, None, None, None]
+            return (
+                0.1 * jnp.tanh(net_in[..., :4])
+                + 0.03 * tt
+                + variables["params"]["w"]
+            )
+
+    T, h, w, n = 3, 4, 4, 4
+    den = UNetDenoiser(DummyModule(), {"w": jnp.float32(0.01)})
+    plan = make_sampling_plan(DDPMDiscretization(), n)
+    cond = _make_tiny_cond(rng, T, h, w)
+    base_key = jax.random.PRNGKey(7)
+    pc = np.array([2, 1], np.int32)
+
+    def post_fn(p, x):  # a decode stand-in: affine + uint8 quantization
+        v = jnp.clip((jnp.tanh(x * p["s"]) + 1.0) * 127.5, 0, 255)
+        return v.astype(jnp.uint8)
+
+    pparams = {"s": jnp.float32(0.7)}
+
+    lat = den.sample_from_key((T, h, w, 4), plan, cond, base_key, pc)
+    want = np.asarray(jax.jit(post_fn)(pparams, lat))
+
+    got = np.asarray(
+        den.sample_from_key(
+            (T, h, w, 4), plan, cond, base_key, pc,
+            post=("u8", post_fn, pparams),
+        )
+    )
+    assert got.dtype == np.uint8
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+    ticks = []
+    tracked = den.sample_from_key(
+        (T, h, w, 4), plan, cond, base_key, pc,
+        progress_cb=lambda i, n_: ticks.append((i, n_)),
+        post=("u8", post_fn, pparams),
+    )
+    tracked = np.asarray(tracked)
+    assert tracked.dtype == np.uint8
+    assert np.max(np.abs(tracked.astype(int) - want.astype(int))) <= 1
+    assert ticks, "progress callback never fired"
