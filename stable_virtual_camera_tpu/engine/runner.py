@@ -463,7 +463,8 @@ class SceneEngine:
         options, version = self.options, self.version
         W, H = version.W, version.H
         F = version.f
-        imgs, imgs_clip, img_size = [], [], None
+        imgs, img_size = [], None
+        pending: dict = {}  # (h, w) -> [(position, arr, K)] batched below
         for i, (img, K) in enumerate(zip(image_cond["img"], camera_cond["K"])):
             if isinstance(img, str) or img is None:
                 img_arr, K = load_img_and_K(img or img_size, None, K=np.asarray(K))
@@ -509,22 +510,29 @@ class SceneEngine:
                     img_arr = np.asarray(img, np.float32)[None]
                     if img_arr.max() > 1.5:  # 0..255 float
                         img_arr = img_arr / 255.0 * 2.0 - 1.0
-                img_arr, K = transform_img_and_K(
-                    img_arr, (W, H), K=np.asarray(K)[None]
+                # defer: same-shape ndarray frames transform as ONE batch
+                # below (the resize math is identical, vectorized — a long
+                # trajectory's 100+ target placeholders otherwise pay a
+                # per-frame python resize each)
+                pending.setdefault(img_arr.shape[1:3], []).append(
+                    (i, img_arr, np.asarray(K))
                 )
-                K = K[0]
-                K[0] /= W
-                K[1] /= H
-                camera_cond["K"][i] = K
+                img_arr = None
             else:
                 raise TypeError(f"Unsupported image type {type(img)}")
             imgs.append(img_arr)
-            imgs_clip.append(img_arr)
-        return (
-            np.concatenate(imgs, 0),
-            np.concatenate(imgs_clip, 0),
-            img_size,
-        )
+        for _shape_hw, items in pending.items():
+            batch = np.concatenate([a for _, a, _ in items], 0)
+            Ks_in = np.stack([k for _, _, k in items], 0)
+            batch_t, Ks_t = transform_img_and_K(batch, (W, H), K=Ks_in)
+            for j, (i, _, _) in enumerate(items):
+                imgs[i] = batch_t[j : j + 1]
+                Kj = Ks_t[j]
+                Kj[0] /= W
+                Kj[1] /= H
+                camera_cond["K"][i] = Kj
+        out = np.concatenate(imgs, 0)
+        return out, out.copy(), img_size
 
     def _prepare_prior_Ks(self, traj_prior_Ks, img_size):
         options, version = self.options, self.version
