@@ -68,6 +68,8 @@ def _snap(v: float, stride: int) -> int:
 
 def _area_resize(img: np.ndarray, rh: int, rw: int) -> np.ndarray:
     """NHWC float32 area interpolation (box average)."""
+    if img.shape[1] == rh and img.shape[2] == rw:
+        return img  # identity: cv2 INTER_AREA at 1:1 is a copy, skip it
     out = np.stack(
         [cv2.resize(im, (rw, rh), interpolation=cv2.INTER_AREA) for im in img]
     )
