@@ -220,7 +220,18 @@ def main() -> None:
         )
 
     os.makedirs(args.out, exist_ok=True)
-    save_converted(params_by_model, args.out)  # merges with prior conversions
+    from stable_virtual_camera_tpu.config import SevaSpec as _SevaSpec
+    from stable_virtual_camera_tpu.models.clip import (
+        ClipVisionSpec as _ClipSpec,
+    )
+
+    specs = {}
+    if "unet" in params_by_model:
+        specs["seva"] = _SevaSpec()
+    if "clip" in params_by_model:
+        specs["clip"] = _ClipSpec()
+    # Read the prior manifest BEFORE save_converted: its force-save
+    # recreates the output directory, deleting any existing manifest.json.
     mpath = osp.join(args.out, "manifest.json")
     if osp.exists(mpath):  # incremental run: keep the other models' records
         with open(mpath) as f:
@@ -228,6 +239,8 @@ def main() -> None:
         prior.get("inputs", {}).update(manifest["inputs"])
         prior.get("totals", {}).update(manifest["totals"])
         manifest = {**prior, "dtype": manifest["dtype"]}
+    # merges with prior conversions; specs.json self-describes the topology
+    save_converted(params_by_model, args.out, specs=specs)
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"wrote {args.out} (manifest.json records input hashes)")

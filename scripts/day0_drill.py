@@ -212,7 +212,9 @@ def main() -> None:
     clip_params = convert.convert_clip_open_clip(clip_sd, clip_spec)
     t_convert = time.perf_counter() - t0
     mio.save_converted(
-        {"unet": unet_params, "vae": vae_params, "clip": clip_params}, ckpt
+        {"unet": unet_params, "vae": vae_params, "clip": clip_params},
+        ckpt,
+        specs={"seva": spec, "clip": clip_spec},
     )
     t_cache = time.perf_counter() - t0 - t_convert
     del unet_params, vae_params, clip_params

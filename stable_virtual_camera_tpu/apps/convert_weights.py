@@ -37,7 +37,14 @@ def main(unet: str | None = None, vae: str | None = None, clip: str | None = Non
         params["dust3r"] = mio.load_dust3r_params(dust3r)
         print("[convert] dust3r stereo net converted")
     assert params, "nothing to convert; pass --unet/--vae/--clip/--dust3r"
-    mio.save_converted(params, out)  # merges with any prior conversion in `out`
+    specs = {}
+    if unet:
+        specs["seva"] = SevaSpec()
+    if clip:
+        specs["clip"] = ClipVisionSpec()
+    # merges with any prior conversion in `out`; specs.json makes the
+    # checkpoint self-describing for load_bundle
+    mio.save_converted(params, out, specs=specs)
     print(f"[convert] saved converted checkpoint to {out}")
 
 

@@ -9,6 +9,7 @@ randomly initialized bundle at any spec — used by tests and smoke runs.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -182,6 +183,11 @@ def load_bundle(
         VaeApplier,
     )
 
+    stored = load_checkpoint_specs(checkpoint_dir)
+    if spec is None and "seva" in stored:
+        spec = _spec_from_dict(SevaSpec, stored["seva"])
+    if clip_spec is None and "clip" in stored:
+        clip_spec = _spec_from_dict(ClipVisionSpec, stored["clip"])
     spec = spec or SevaSpec()
     clip_spec = clip_spec or ClipVisionSpec()
     unet = SevaUNet(spec, dtype=dtype, param_dtype=param_dtype, use_pallas=use_pallas)
@@ -216,17 +222,29 @@ def load_bundle(
 # ---------------------------------------------------------------------------
 
 
-def save_converted(params_by_model: dict, out_dir: str) -> None:
+def save_converted(params_by_model: dict, out_dir: str, specs: dict | None = None) -> None:
     """Persist converted flax param trees ({'unet': ..., 'vae': ..., 'clip':
     ...}) as an orbax checkpoint, so torch->jax conversion runs once
     (the TPU-side analogue of the reference's HF-hub weight cache,
-    seva/utils.py:29-48)."""
+    seva/utils.py:29-48).
+
+    `specs` (optional): {"seva": SevaSpec, "clip": ClipVisionSpec} — written
+    as `specs.json` next to the cache so the checkpoint is SELF-DESCRIBING:
+    `load_bundle` instantiates the matching architectures without the
+    caller having to know them (non-default topologies — e.g. the day-0
+    drill's tiny mode — would otherwise load against the flagship spec and
+    fail on shape mismatch)."""
+    import dataclasses
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(out_dir)
     # MERGE with any previously converted models so incremental runs
     # (--seva today, --dust3r tomorrow, same --out) accumulate instead of
     # silently erasing each other; the new trees win on key collision.
+    # Read the spec manifest BEFORE the orbax save: force=True recreates
+    # the directory, wiping a previously written specs.json.
+    stored_specs = load_checkpoint_specs(path)
     if os.path.exists(os.path.join(path, "_METADATA")):
         existing = load_converted(path)
         existing.update(params_by_model)
@@ -235,6 +253,36 @@ def save_converted(params_by_model: dict, out_dir: str) -> None:
         # force: tolerate a pre-created/stale destination (the conversion CLI
         # makedirs the output dir for manifest.json; re-conversion overwrites)
         ckptr.save(path, params_by_model, force=True)
+    if specs:
+        stored_specs.update(
+            {k: dataclasses.asdict(v) for k, v in specs.items() if v is not None}
+        )
+    if stored_specs:
+        with open(os.path.join(path, "specs.json"), "w") as f:
+            json.dump(stored_specs, f, indent=1)
+
+
+def load_checkpoint_specs(checkpoint_dir: str) -> dict:
+    """The `specs.json` manifest written by `save_converted` ({} if absent)."""
+    spec_path = os.path.join(os.path.abspath(checkpoint_dir), "specs.json")
+    if not os.path.exists(spec_path):
+        return {}
+    with open(spec_path) as f:
+        return json.load(f)
+
+
+def _spec_from_dict(cls, d: dict):
+    """Rebuild a spec dataclass from its JSON dict: lists back to tuples
+    (JSON has no tuples), unknown keys dropped (forward compatibility)."""
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    clean = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in d.items()
+        if k in names
+    }
+    return cls(**clean)
 
 
 def load_converted(out_dir: str) -> dict:

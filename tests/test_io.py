@@ -105,3 +105,39 @@ def test_lowvram_offload_roundtrip():
     )
     imgs2 = rng.uniform(-1, 1, size=(3, sz, sz, 3)).astype(np.float32)
     np.testing.assert_array_equal(hot_c.embed(imgs2), cold_c.embed(imgs2))
+
+
+def test_checkpoint_specs_manifest_roundtrip(tmp_path):
+    """save_converted(specs=...) writes specs.json; load_checkpoint_specs /
+    _spec_from_dict rebuild the exact dataclasses (tuples restored, unknown
+    keys dropped) — the self-describing-checkpoint contract load_bundle
+    uses to pick non-default topologies (e.g. the day-0 drill's tiny mode)."""
+    from stable_virtual_camera_tpu.config import SevaSpec
+    from stable_virtual_camera_tpu.models.clip import ClipVisionSpec
+    from stable_virtual_camera_tpu.models.io import (
+        _spec_from_dict,
+        load_checkpoint_specs,
+        save_converted,
+    )
+
+    spec = SevaSpec.tiny()
+    clip_spec = ClipVisionSpec.tiny()
+    out = tmp_path / "ckpt"
+    save_converted(
+        {"unet": {"w": np.zeros(2, np.float32)}},
+        str(out),
+        specs={"seva": spec, "clip": clip_spec},
+    )
+    stored = load_checkpoint_specs(str(out))
+    assert set(stored) == {"seva", "clip"}
+    assert _spec_from_dict(SevaSpec, stored["seva"]) == spec
+    assert _spec_from_dict(ClipVisionSpec, stored["clip"]) == clip_spec
+    # forward compatibility: unknown keys are ignored
+    stored["seva"]["future_knob"] = 1
+    assert _spec_from_dict(SevaSpec, stored["seva"]) == spec
+    # incremental save keeps prior spec entries
+    save_converted(
+        {"vae": {"b": np.zeros(1, np.float32)}}, str(out),
+        specs={"seva": spec},
+    )
+    assert set(load_checkpoint_specs(str(out))) == {"seva", "clip"}
