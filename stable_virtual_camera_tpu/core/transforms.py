@@ -209,10 +209,15 @@ def transform_img_and_K(
 
     if K is not None:
         K = K.copy().astype(np.float64)
-        if _is_normalized_K(K):
-            K[:, :2] *= np.array([rw, rh], dtype=np.float64)[None, :, None]
-        else:
-            K[:, :2] *= np.array([rw / w, rh / h], dtype=np.float64)[None, :, None]
+        # classify normalized-vs-pixel-unit PER K (the reference transforms
+        # one image per call, so classification is inherently per-frame,
+        # seva/eval.py:313-321; a batch mixing both kinds must not scale the
+        # normalized ones by the pixel-unit rule)
+        cxcy = K[:, :2, -1]
+        norm_row = np.all((cxcy >= 0) & (cxcy <= 1), axis=-1)  # (B,)
+        scale_norm = np.array([rw, rh], dtype=np.float64)[:, None]
+        scale_pix = np.array([rw / w, rh / h], dtype=np.float64)[:, None]
+        K[:, :2] *= np.where(norm_row[:, None, None], scale_norm, scale_pix)
         K[:, :2, 2] += np.array([pl - cl, pt - ct], dtype=np.float64)
 
     return image, K

@@ -118,7 +118,11 @@ class VaeApplier:
 
     def _chunked(self, fn, map_fn, x: np.ndarray, chunk_size: int | None) -> np.ndarray:
         if x.shape[0] == 0:
-            return np.zeros((0,), np.float32)
+            # shape-correct empty result: derive the per-element output shape
+            # abstractly (no device execution) so zero-input conditioning
+            # paths see (0, h, w, C), not a bare (0,) array
+            out_s = jax.eval_shape(fn, jnp.zeros((1,) + x.shape[1:], x.dtype))
+            return np.zeros((0,) + tuple(out_s.shape[1:]), out_s.dtype)
         if not chunk_size or chunk_size >= x.shape[0]:
             # bucket the batch to the next power of two: chunks carry varying
             # numbers of input views and every new shape is a fresh (slow)
@@ -555,7 +559,25 @@ class SceneEngine:
 
     # ---------------- main generator ----------------
 
-    def run_one_scene(
+    def run_one_scene(self, *args, **kwargs) -> Iterator[str]:
+        """Generator wrapper guaranteeing resource cleanup: the impl registers
+        its flush pool and streaming writers in `_cleanup`, and EVERY exit
+        path — abort, worker exception, generator abandonment mid-yield —
+        runs them (best-effort) so no writer/executor thread outlives the
+        render and no queued PNG write is silently dropped. On the happy path
+        every registered callable is an idempotent no-op (the impl already
+        joined/drained at its explicit, error-raising checkpoints)."""
+        cleanup: list[Callable[[], None]] = []
+        try:
+            yield from self._run_scene_impl(*args, _cleanup=cleanup, **kwargs)
+        finally:
+            for fn in reversed(cleanup):
+                try:
+                    fn()
+                except BaseException:  # noqa: BLE001 - best-effort teardown
+                    pass
+
+    def _run_scene_impl(
         self,
         task: str,
         image_cond: dict,
@@ -568,7 +590,10 @@ class SceneEngine:
         abort_event=None,
         first_pass_pbar: Callable | None = None,
         second_pass_pbar: Callable | None = None,
+        _cleanup: list | None = None,
     ) -> Iterator[str]:
+        if _cleanup is None:
+            _cleanup = []
         options = self.options
         version = self.version
         bundle = self.bundle
@@ -889,6 +914,7 @@ class SceneEngine:
                         fp_writer = StreamingFrameWriter(
                             osp.join(save_path, "first-pass", "samples-rgb")
                         )
+                        _cleanup.append(fp_writer.drain)
                         fp_frames = get_k_from_dict(all_samples, "samples-rgb")
                         fp_writer.submit(range(len(fp_frames)), fp_frames)
                     save_output(
@@ -956,20 +982,30 @@ class SceneEngine:
                 # delivered directly (TPU addition, EngineOptions.
                 # deliver_anchors; the reference re-samples every target,
                 # seva/eval.py:1837-1956). Inputs can never coincide —
-                # test_indices excludes them by construction.
+                # test_indices excludes them by construction. Ordinal
+                # coincidence alone is not proof of pose identity (a direct
+                # run_one_scene caller may pass a separate prior trajectory
+                # whose integer indices alias target ordinals), so each
+                # candidate pair's pose AND intrinsics are verified; any
+                # mismatch falls back to re-denoising that target.
                 prior_rows = {
                     int(round(p)): j
                     for j, p in enumerate(prior_indices)
                     if abs(p - round(p)) < 1e-9
                 }
-                keep = [
-                    j for j, t in enumerate(test_indices) if t not in prior_rows
-                ]
-                delivered = [
-                    (j, prior_rows[t])
-                    for j, t in enumerate(test_indices)
-                    if t in prior_rows
-                ]
+                keep, delivered = [], []
+                for j, t in enumerate(test_indices):
+                    r = prior_rows.get(t)
+                    if (
+                        r is not None
+                        and np.allclose(
+                            traj_prior_c2ws[r], test_c2ws[j], atol=1e-5
+                        )
+                        and np.allclose(traj_prior_Ks[r], test_Ks[j], atol=1e-5)
+                    ):
+                        delivered.append((j, r))
+                    else:
+                        keep.append(j)
             else:
                 keep = list(range(len(test_indices)))
                 delivered = []
@@ -1001,16 +1037,30 @@ class SceneEngine:
             # thread so they overlap the next chunk's dispatch-block instead
             # of serializing between dispatches. FIFO worker == serial
             # ordering; errors re-raise at the join below.
-            flush_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="svc-flush"
-            )
-            flush_futs: list = []
-
             sp_writer = (
                 StreamingFrameWriter(osp.join(save_path, "samples-rgb"))
                 if stream_save
                 else None
             )
+            if sp_writer is not None:
+                _cleanup.append(sp_writer.drain)
+
+            flush_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="svc-flush"
+            )
+            flush_futs: list = []
+
+            def _teardown_flush_pool():
+                # consume pending futures (swallowing their exceptions only
+                # on abnormal exits — the happy path joins with .result()
+                # below, which re-raises) then stop the executor thread.
+                # Registered AFTER sp_writer.drain so reversed-order cleanup
+                # stops the pool (which submits to the writer) first.
+                for f in flush_futs:
+                    f.exception()
+                flush_pool.shutdown(wait=True)
+
+            _cleanup.append(_teardown_flush_pool)
 
             def _flush_second_pass_chunk(item):
               with stage("second_pass_flush"):
@@ -1105,10 +1155,7 @@ class SceneEngine:
             n_dp = len(work) if use_dp else 0
             for g in range(0, n_dp, n_data):
                 if abort_event is not None and abort_event.is_set():
-                    for f in flush_futs:
-                        f.result()
-                    flush_pool.shutdown(wait=True)
-                    return
+                    return  # _cleanup joins the pool and drains writers
                 group = work[g : g + n_data]
                 pad = n_data - len(group)
                 conds, shape = [], None
@@ -1139,25 +1186,34 @@ class SceneEngine:
                             (out_dev, i, c_test_sels, c_test_inds, curr),
                         )
                     )
-            # conditioning for every remaining chunk is staged BEFORE the
-            # first dispatch: a cond build contains blocking encode syncs
-            # which would otherwise queue behind the in-flight scan and
-            # stall the host a full scan-time between dispatches; prebuilt,
-            # the loop below is pure dispatch+flush and scans run
-            # back-to-back (~10 MB device memory per staged chunk)
-            staged = []
+            # conditioning is staged AHEAD of the dispatch loop in a bounded
+            # rolling window (default 3 chunks, SVC_PREFETCH_CHUNKS): a cond
+            # build contains blocking encode syncs which would otherwise
+            # queue behind the in-flight scan and stall the host a full
+            # scan-time between dispatches; prebuilt, the loop below is pure
+            # dispatch+flush and scans run back-to-back. The window bounds
+            # device memory to ~10 MB x window instead of growing linearly
+            # with trajectory length (with the primed cond cache the
+            # steady-state refill below is a pure-numpy cache hit anyway).
+            work_rest = work[n_dp:]
+            prefetch = max(1, int(os.environ.get("SVC_PREFETCH_CHUNKS", "3")))
+            staged: list = []
+
+            def _build_cond(values):
+                return build_chunk_conditioning(
+                    bundle, values, cfg=cfg2, guider_type=guider2,
+                    cfg_min=cfg_min, encoding_t=enc_t,
+                    latent_downsample=F,
+                )
+
             with stage("second_pass_conditioning"):
-                for _i, _sels, _inds, _curr, values in work[n_dp:]:
-                    staged.append(
-                        build_chunk_conditioning(
-                            bundle, values, cfg=cfg2, guider_type=guider2,
-                            cfg_min=cfg_min, encoding_t=enc_t,
-                            latent_downsample=F,
-                        )
-                    )
-            for (i, c_test_sels, c_test_inds, curr, values), pb in zip(
-                work[n_dp:], staged
+                for _i, _sels, _inds, _curr, values in work_rest[:prefetch]:
+                    staged.append(_build_cond(values))
+            for pos, (i, c_test_sels, c_test_inds, curr, values) in enumerate(
+                work_rest
             ):
+              pb = staged[pos]
+              staged[pos] = None  # release the window slot's device refs
               with stage("second_pass_sample"):
                 samples_dev = sample_chunk(
                     bundle,
@@ -1182,16 +1238,19 @@ class SceneEngine:
                     prebuilt=pb,
                 )
                 if samples_dev is None:
-                    for f in flush_futs:
-                        f.result()
-                    flush_pool.shutdown(wait=True)
-                    return
+                    return  # aborted; _cleanup joins the pool and drains writers
                 flush_futs.append(
                     flush_pool.submit(
                         _flush_second_pass_chunk,
                         (samples_dev, i, c_test_sels, c_test_inds, curr),
                     )
                 )
+              # refill the prefetch window: build the conditioning for chunk
+              # pos+prefetch while the just-dispatched scan occupies the device
+              nxt = pos + prefetch
+              if nxt < len(work_rest):
+                  with stage("second_pass_conditioning"):
+                      staged.append(_build_cond(work_rest[nxt][4]))
             with stage("second_pass_flush_join"):
                 for f in flush_futs:
                     f.result()  # re-raises worker errors, preserves order

@@ -77,6 +77,30 @@ def test_normalized_K_branch_matches_reference(ref, rng):
     np.testing.assert_allclose(ours_K, theirs_K.numpy(), rtol=1e-5, atol=1e-4)
 
 
+def test_mixed_K_batch_classified_per_row(rng):
+    """A batch mixing normalized and pixel-unit Ks must classify each K
+    independently (ADVICE r4 medium #1: the batched transform previously
+    classified the whole batch as a unit) — each row must equal its own
+    single-K transform."""
+    h, w = 96, 128
+    img = rng.uniform(-1, 1, size=(2, h, w, 3)).astype(np.float32)
+    K_norm = np.array(
+        [[0.9, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]], dtype=np.float64
+    )
+    K_pix = np.array(
+        [[110.0, 0.0, 64.0], [0.0, 115.0, 48.0], [0.0, 0.0, 1.0]],
+        dtype=np.float64,
+    )
+    _, K_batch = tf.transform_img_and_K(
+        img.copy(), (64, 64), K=np.stack([K_norm, K_pix]).copy(), mode="crop"
+    )
+    for row, K in enumerate([K_norm, K_pix]):
+        _, K_solo = tf.transform_img_and_K(
+            img[row : row + 1].copy(), (64, 64), K=K[None].copy(), mode="crop"
+        )
+        np.testing.assert_allclose(K_batch[row], K_solo[0], rtol=1e-12)
+
+
 def test_load_img_and_K_roundtrip(tmp_path, rng):
     from PIL import Image
 
