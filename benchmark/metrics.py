@@ -58,6 +58,14 @@ def ssim(pred: np.ndarray, target: np.ndarray, max_val: float = 1.0) -> float:
 
 
 def lpips_available() -> bool:
+    """Whether ANY LPIPS scorer can run: the native flax tower with
+    converted weights (SVC_LPIPS_WEIGHTS=/path/to/lpips.msgpack, or
+    =synthetic for pipeline drills), or the torch `lpips` package."""
+    import os
+
+    w = os.environ.get("SVC_LPIPS_WEIGHTS")
+    if w == "synthetic" or (w and os.path.exists(w)):
+        return True
     try:
         import lpips  # noqa: F401
 
@@ -67,8 +75,28 @@ def lpips_available() -> bool:
 
 
 def lpips_fn():
-    """Returns an LPIPS callable (pred, target in [0,1] HWC) -> float, or
-    raises ImportError when the lpips package/weights are unavailable."""
+    """Returns an LPIPS callable (pred, target in [0,1] HWC) -> float.
+
+    Resolution order: native flax LPIPS (models/lpips.py) when
+    SVC_LPIPS_WEIGHTS points at a converted checkpoint (`synthetic` runs the
+    real topology with random weights — day-0-drill execution path, scores
+    meaningless but the pipeline is proven); otherwise the torch `lpips`
+    package; otherwise raises ImportError."""
+    import os
+
+    w = os.environ.get("SVC_LPIPS_WEIGHTS")
+    if w == "synthetic" or (w and os.path.exists(w)):
+        from stable_virtual_camera_tpu.models.lpips import (
+            load_lpips,
+            lpips_apply_fn,
+            synthetic_lpips_params,
+        )
+
+        params = (
+            synthetic_lpips_params() if w == "synthetic" else load_lpips(w)
+        )
+        return lpips_apply_fn(params)
+
     import lpips
     import torch
 

@@ -108,6 +108,15 @@ def main() -> None:
         "--dust3r",
         help="path to DUSt3R_ViTLarge_BaseDecoder_512_dpt weights (.pth/.safetensors)",
     )
+    ap.add_argument(
+        "--lpips_vgg",
+        help="path to torchvision vgg16 weights (vgg16-397923af.pth) for the "
+        "native LPIPS metric tower",
+    )
+    ap.add_argument(
+        "--lpips_lin",
+        help="path to the lpips package's v0.1 vgg.pth linear heads",
+    )
     ap.add_argument("--out", required=True, help="output cache directory")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -214,9 +223,61 @@ def main() -> None:
         params_by_model["dust3r"] = params
         print(f"dust3r converted OK: {manifest['totals']['dust3r']:,} params")
 
+    lpips_done = False
+    if args.lpips_vgg or args.lpips_lin:
+        assert args.lpips_vgg and args.lpips_lin, (
+            "--lpips_vgg and --lpips_lin must be passed together"
+        )
+        from stable_virtual_camera_tpu.models.lpips import (
+            convert_lpips,
+            save_lpips,
+        )
+
+        for name, path in (("lpips_vgg", args.lpips_vgg),
+                           ("lpips_lin", args.lpips_lin)):
+            digest = sha256(path)
+            print(f"{name} sha256={digest}")
+            manifest["inputs"][name] = {"path": path, "sha256": digest}
+        lpips_params = convert_lpips(
+            _load_torch_or_safetensors(args.lpips_vgg),
+            _load_torch_or_safetensors(args.lpips_lin),
+        )
+        manifest["totals"]["lpips"] = int(
+            sum(
+                int(np.prod(v.shape))
+                for v in jax.tree_util.tree_leaves(lpips_params)
+            )
+        )
+        lpips_done = True
+
+        def _write_lpips():
+            # called AFTER save_converted: the orbax force-save recreates
+            # the output directory, which would wipe a pre-written file
+            os.makedirs(args.out, exist_ok=True)
+            lp_path = osp.join(args.out, "lpips.msgpack")
+            save_lpips(lpips_params, lp_path)
+            print(
+                f"lpips converted OK -> {lp_path} "
+                f"(score with SVC_LPIPS_WEIGHTS={lp_path})"
+            )
+
     if not params_by_model:
+        if lpips_done:
+            _write_lpips()
+            mpath = osp.join(args.out, "manifest.json")
+            if osp.exists(mpath):
+                with open(mpath) as f:
+                    prior = json.load(f)
+                prior.get("inputs", {}).update(manifest["inputs"])
+                prior.get("totals", {}).update(manifest["totals"])
+                manifest = {**prior, "dtype": manifest["dtype"]}
+            with open(mpath, "w") as f:
+                json.dump(manifest, f, indent=2)
+            print(f"wrote {args.out} (lpips only)")
+            return
         ap.error(
-            "nothing to convert: pass at least one of --seva/--vae/--clip/--dust3r"
+            "nothing to convert: pass at least one of "
+            "--seva/--vae/--clip/--dust3r/--lpips_vgg+--lpips_lin"
         )
 
     os.makedirs(args.out, exist_ok=True)
@@ -239,8 +300,20 @@ def main() -> None:
         prior.get("inputs", {}).update(manifest["inputs"])
         prior.get("totals", {}).update(manifest["totals"])
         manifest = {**prior, "dtype": manifest["dtype"]}
+    # a previously converted lpips.msgpack must survive the dir-recreating
+    # orbax save (incremental model-only runs into the same --out)
+    lp_path = osp.join(args.out, "lpips.msgpack")
+    prior_lpips = None
+    if not lpips_done and osp.exists(lp_path):
+        with open(lp_path, "rb") as f:
+            prior_lpips = f.read()
     # merges with prior conversions; specs.json self-describes the topology
     save_converted(params_by_model, args.out, specs=specs)
+    if lpips_done:
+        _write_lpips()  # after the dir-recreating orbax save
+    elif prior_lpips is not None:
+        with open(lp_path, "wb") as f:
+            f.write(prior_lpips)
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"wrote {args.out} (manifest.json records input hashes)")
