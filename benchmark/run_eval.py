@@ -75,6 +75,12 @@ def run_eval(
     from benchmark.metrics import evaluate_split
     from stable_virtual_camera_tpu.apps import cli as cli_mod
 
+    # Quality-parity harness: reproduce the reference's anchor schedule
+    # (fill-to-T-1 + round(linspace), seva/eval.py:404-407) by default so
+    # scores compare against the reference pipeline's own plan; pass
+    # min_anchor_fill=False to score the TPU economy schedule instead.
+    overrides.setdefault("min_anchor_fill", True)
+
     if entries is None:
         selected = dict(ENTRIES)
     else:

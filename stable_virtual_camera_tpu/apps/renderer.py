@@ -140,7 +140,7 @@ class HeadlessRenderer:
         camera_scale: float = 2.0,
         num_steps: int = 50,
         min_anchor_fill: bool = False,
-        deliver_anchors: bool = False,
+        deliver_anchors: bool | None = None,
     ) -> dict:
         """Resolve the full render plan: targets, anchors, options (incl. the
         reference's >10-input-views forced `interp` strategy, demo_gr.py:242-244)
@@ -196,7 +196,10 @@ class HeadlessRenderer:
         # — the minimum anchor count vs the reference's fill-to-T-1
         # (seva/eval.py:404-407) and round(linspace) placement; optionally
         # with anchor delivery. Reference placement otherwise.
-        options.set("deliver_anchors", bool(deliver_anchors))
+        if deliver_anchors is not None:
+            options.set("deliver_anchors", bool(deliver_anchors))
+        # None = AUTO: resolve_anchors turns delivery on iff the dense
+        # economy schedule applies (config.deliver_anchors rationale)
         rel, _dense = resolve_anchors(
             version.T, num_inputs, num_targets, version, options
         )

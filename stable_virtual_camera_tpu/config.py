@@ -125,13 +125,24 @@ class EngineOptions:
     # 11 -> 9; measured on-chip 0.3413 vs 0.2481 f/s e2e, 1.376x —
     # round-4 journal); anchors are correspondingly sparser.
     min_anchor_fill: bool = False
-    # deliver_anchors=True (TPU addition, opt-in): targets whose pose
-    # coincides with a first-pass anchor are delivered straight from the
-    # first pass instead of being re-denoised in the second pass (the
-    # reference re-samples every target, seva/eval.py:1837-1956). Combined
-    # with dense anchor placement (engine/prior.plan_dense_anchors) the
-    # baseline's orbit-134 workload drops from 11 scans to 8.
-    deliver_anchors: bool = False
+    # deliver_anchors (TPU addition): targets whose pose coincides with a
+    # first-pass anchor are delivered straight from the first pass instead
+    # of being re-denoised in the second pass (the reference re-samples
+    # every target, seva/eval.py:1837-1956). Combined with dense anchor
+    # placement (engine/prior.plan_dense_anchors) the baseline's orbit-134
+    # workload drops from 11 scans to 8 (measured 0.4271 vs 0.3809 f/s e2e,
+    # round-4 journal). None (the default) = AUTO: on whenever the dense
+    # economy schedule is active (resolve_anchors), off otherwise —
+    # reference-schedule runs (min_anchor_fill=True) and direct
+    # run_one_scene callers (None is falsy) are unaffected. Quality gate
+    # rationale + divergence measurement: benchmark/deliver_divergence.py
+    # and docs/ARCHITECTURE.md (round-5 journal); mechanism precedents: the
+    # reference itself splices conditioning frames into coincident output
+    # positions (replace_or_include_input, seva/eval.py:893-919) and
+    # presents the first-pass video as user-visible output
+    # (demo_gr.py:664-701). The engine verifies pose+K identity before
+    # delivering any frame (engine/runner.py deliver branch).
+    deliver_anchors: bool | None = None
     param_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
     mesh_view_axis: int = 1  # number of devices to shard the view/T axis over

@@ -185,11 +185,17 @@ def resolve_anchors(
         and num_input_frames < options.get("num_input_semi_dense", 9)
     )
     if use_dense:
+        if options.get("deliver_anchors", None) is None:
+            # AUTO (config.deliver_anchors=None): delivery rides the dense
+            # economy schedule it was co-designed with — the measured-best
+            # plan (8 scans, 0.4271 f/s round-4) becomes the default while
+            # reference-schedule runs below stay untouched.
+            options.set("deliver_anchors", True)
         rel = plan_dense_anchors(
             num_total_frames,
             T_second,
             num_input_frames if "gt" in chunk_strategy else 0,
-            deliver=options.get("deliver_anchors", False),
+            deliver=bool(options.get("deliver_anchors", False)),
         )
         T_first_dense = min(len(rel) + num_input_frames, T_first)
         # Serving knob: dense T_first varies with the workload's anchor
@@ -205,7 +211,9 @@ def resolve_anchors(
                     break
         version_config.T = [T_first_dense, T_second]
         return [float(r) for r in rel], True
-    if options.get("deliver_anchors", False):
+    if options.get("deliver_anchors", False) or (
+        options.get("deliver_anchors", None) is None
+    ):
         options.set("deliver_anchors", False)
     n = infer_prior_stats(
         T, num_input_frames, num_total_frames, version_config, options

@@ -420,11 +420,22 @@ def test_resolve_anchors_modes(monkeypatch):
     assert o.get("deliver_anchors") is False  # needs integer placement
     assert rel[0] == 0.0 and rel[-1] == float(N - 1)
 
-    # dense economy: minimum count, T rewritten
+    # dense economy, delivery explicitly off: minimum count, T rewritten
+    v = VersionConfig()
+    o = EngineOptions(
+        chunk_strategy="interp-gt", min_anchor_fill=False,
+        deliver_anchors=False,
+    )
+    rel, dense = prior.resolve_anchors(21, 1, N, v, o)
+    assert dense and len(rel) == 9 and v.T == [10, 21]
+
+    # dense economy with the AUTO default (deliver_anchors=None): delivery
+    # rides the dense schedule (round-5 default; config.deliver_anchors)
     v = VersionConfig()
     o = EngineOptions(chunk_strategy="interp-gt", min_anchor_fill=False)
     rel, dense = prior.resolve_anchors(21, 1, N, v, o)
-    assert dense and len(rel) == 9 and v.T == [10, 21]
+    assert dense and o.get("deliver_anchors") is True
+    assert len(rel) == 8 and v.T == [9, 21]
 
     # dense + deliver: one fewer anchor, narrower first pass
     v = VersionConfig()
