@@ -288,7 +288,7 @@ def scenario_e2e(
     num_frames: int = 134,
     num_steps: int = STEPS,
     economy: bool = True,
-    deliver: bool = False,
+    deliver: bool | None = None,
 ) -> None:
     """The baseline's Advanced workload: 1 input image -> `num_frames`
     targets at 576x576, two passes through the full SceneEngine (reference
@@ -327,8 +327,10 @@ def scenario_e2e(
             seed=seed,
             # economy anchors (EngineOptions.min_anchor_fill=False): dense
             # minimum-count placement instead of the reference's fill-to-T-1
-            # — fewer second-pass chunks at sparser anchors. deliver:
-            # anchor-coincident targets spliced from the first pass.
+            # — fewer second-pass chunks at sparser anchors. deliver=None:
+            # AUTO — anchor-coincident targets spliced from the first pass
+            # whenever the dense schedule is active (the default since
+            # round 5; config.deliver_anchors rationale).
             min_anchor_fill=not economy,
             deliver_anchors=deliver,
         )
@@ -347,40 +349,60 @@ def scenario_e2e(
     warm_frames = min(num_frames, 34) if economy else num_frames
     warm = list(renderer.run(make_plan(img, seed=23, frames=warm_frames)))
     assert warm, "engine produced no output (warmup)"
-    img2 = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-    plan = make_plan(img2, seed=24, frames=num_frames)
     # The engine primes its encode/embed caches with the second-pass
     # conditioning frames in one batched dispatch (runner "second_pass_prime").
     # By prime time the INPUT frames are already cached (the first pass
     # encoded them), so the prime batch is exactly the ANCHOR count — prewarm
     # that pow2 bucket (the small warmup's anchor count lands in a smaller
     # one; a mismatched guess here costs a ~40 s in-render compile).
-    n_prime = np.asarray(plan["anchor_c2ws"]).shape[0]
+    plan0 = make_plan(img, seed=23, frames=num_frames)
+    n_prime = np.asarray(plan0["anchor_c2ws"]).shape[0]
     dummy = rng.uniform(-1, 1, size=(n_prime, H, W, 3)).astype(np.float32)
     bundle.vae.encode_cached(dummy, 0)
     bundle.clip.embed_cached(dummy)
     bundle.vae.clear_cache()
     bundle.clip.clear_cache()
-    t0 = time.perf_counter()
-    videos = list(renderer.run(plan))
-    total = time.perf_counter() - t0
-    assert videos, "engine produced no output"
-    fps = num_frames / total
+    # Repeat the timed leg and report the MEDIAN: the relay's single-run
+    # variance put a 2.4% haircut on the round-4 number of record
+    # (BENCH_r04 0.3717 captured vs 0.3809 journaled — r4 VERDICT weak #3).
+    # Each repeat renders different pixels with a different seed (same
+    # shapes -> same compiled buckets; distinct dispatches defeat relay
+    # memoization).
+    repeats = max(1, int(os.environ.get("SVC_BENCH_E2E_REPEATS", "2")))
+    totals = []
+    plan = plan0
+    for r in range(repeats):
+        imgr = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        plan = make_plan(imgr, seed=24 + r, frames=num_frames)
+        t0 = time.perf_counter()
+        videos = list(renderer.run(plan))
+        totals.append(time.perf_counter() - t0)
+        assert videos, "engine produced no output"
+    fps_runs = [num_frames / t for t in totals]
+    fps = float(np.median(fps_runs))
+    delivered = bool(plan["options"].get("deliver_anchors", False))
     print(
         json.dumps(
             {
                 "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass"
                 + ("" if economy else "_reference_schedule")
-                + ("_deliver" if deliver else ""),
+                + ("_nodeliver" if (economy and not delivered) else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "detail": {
-                    "total_s": round(total, 1),
+                    "total_s": round(float(np.median(totals)), 1),
                     "num_frames": num_frames,
                     "num_steps": num_steps,
                     "first_pass_chunks": plan["first_pass_chunks"],
                     "second_pass_chunks": plan["second_pass_chunks"],
+                    "deliver_anchors": delivered,
+                    "fps_runs": [round(f, 4) for f in fps_runs],
+                    "spread_pct": round(
+                        100.0 * (max(fps_runs) - min(fps_runs)) / fps, 2
+                    )
+                    if len(fps_runs) > 1
+                    else 0.0,
                 },
             }
         )
@@ -463,14 +485,20 @@ if __name__ == "__main__":
             frames = int(sys.argv[idx + 1]) if idx >= 0 else 134
             sidx = sys.argv.index("--steps") if "--steps" in sys.argv else -1
             steps = int(sys.argv[sidx + 1]) if sidx >= 0 else STEPS
-            # the engine-default schedule (dense economy anchors) is the
-            # headline; --reference-schedule reproduces the reference's
-            # fill-to-T-1 plan, --deliver adds opt-in anchor delivery
+            # the engine-default schedule (dense economy anchors + auto
+            # anchor delivery) is the headline; --reference-schedule
+            # reproduces the reference's fill-to-T-1 plan, --no-deliver
+            # A/Bs the economy schedule without delivery
+            deliver = None
+            if "--no-deliver" in sys.argv:
+                deliver = False
+            elif "--deliver" in sys.argv:
+                deliver = True
             scenario_e2e(
                 frames,
                 steps,
                 economy="--reference-schedule" not in sys.argv,
-                deliver="--deliver" in sys.argv,
+                deliver=deliver,
             )
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "error",
