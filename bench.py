@@ -289,10 +289,14 @@ def scenario_e2e(
     num_steps: int = STEPS,
     economy: bool = True,
     deliver: bool | None = None,
+    hw: tuple[int, int] = (576, 576),
+    baseline_fps: float = BASELINE_FPS,
+    label: str = "",
 ) -> None:
-    """The baseline's Advanced workload: 1 input image -> `num_frames`
-    targets at 576x576, two passes through the full SceneEngine (reference
-    docs/GR_USAGE.md:66-69 measures exactly this shape on L40S/H100)."""
+    """A baseline end-to-end workload through the full SceneEngine
+    (reference docs/GR_USAGE.md:64-69 measures both on L40S/H100):
+      default        = Advanced: 134 frames @ 576x576, H100 ~0.54 f/s
+      --scenario basic = Basic:   80 frames @ 768x576, H100 ~0.48 f/s"""
     import shutil
     import tempfile
 
@@ -302,6 +306,8 @@ def scenario_e2e(
         HeadlessRenderer,
         preprocess_basic,
     )
+
+    H, W = hw  # noqa: N806 - shadow the module 576^2 constants per-scenario
 
     # Economy T_first depends on the anchor count; pin the serving bucket
     # ladder so the small warmup workload below compiles the SAME first-pass
@@ -385,11 +391,12 @@ def scenario_e2e(
         json.dumps(
             {
                 "metric": f"frames_per_sec_chip_e2e_{num_frames}f_2pass"
+                + label
                 + ("" if economy else "_reference_schedule")
                 + ("_nodeliver" if (economy and not delivered) else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(fps / baseline_fps, 3),
                 "detail": {
                     "total_s": round(float(np.median(totals)), 1),
                     "num_frames": num_frames,
@@ -494,12 +501,26 @@ if __name__ == "__main__":
                 deliver = False
             elif "--deliver" in sys.argv:
                 deliver = True
-            scenario_e2e(
-                frames,
-                steps,
-                economy="--reference-schedule" not in sys.argv,
-                deliver=deliver,
-            )
+            if "--scenario" in sys.argv and "basic" in sys.argv:
+                # the baseline's SECOND published workload (Basic mode,
+                # 80 frames @ 768x576 ~= 0.48 f/s H100 w/ compile,
+                # reference docs/GR_USAGE.md:64-69)
+                scenario_e2e(
+                    int(frames) if idx >= 0 else 80,
+                    steps,
+                    economy="--reference-schedule" not in sys.argv,
+                    deliver=deliver,
+                    hw=(576, 768),
+                    baseline_fps=0.48,
+                    label="_basic_768x576",
+                )
+            else:
+                scenario_e2e(
+                    frames,
+                    steps,
+                    economy="--reference-schedule" not in sys.argv,
+                    deliver=deliver,
+                )
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "bench_error", "value": 0, "unit": "error",
                           "vs_baseline": 0, "detail": repr(e)[:400]}))

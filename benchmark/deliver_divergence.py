@@ -128,6 +128,11 @@ def main() -> None:
             version_T=21,
         )
     else:
+        # the tiny measurement belongs on (virtual) CPU — the image preloads
+        # jax on the axon relay regardless of JAX_PLATFORMS env
+        from benchmark.fullscale_compile import _ensure_cpu_devices
+
+        _ensure_cpu_devices(8)
         from stable_virtual_camera_tpu.models.io import random_bundle
 
         bundle = random_bundle(image_hw=(64, 64))

@@ -1151,8 +1151,29 @@ class SceneEngine:
             # it still runs as one sharded program (a 7-chunk pass on an
             # 8-wide data axis is one dispatch, not 7 serial scans); padded
             # outputs are dropped.
+            #
+            # SINGLE-CHIP chunk batching (SVC_CHUNK_BATCH=B / options
+            # chunk_batch): the same grouping with no mesh — B independent
+            # chunks vmap into one scan, widening every matmul's batch dim
+            # (the narrow-N fusions and D=64 attention heads that cap MFU at
+            # ~53% feed better at 2x batch). Same per-chunk keys -> serial-
+            # equivalent outputs; HBM doubles per +1 B. A/B:
+            # benchmark/chunk_batch_ab.py.
+            chunk_batch = int(
+                os.environ.get("SVC_CHUNK_BATCH", "0")
+                or options.get("chunk_batch", 0)
+                or 0
+            )
             use_dp = n_data > 1 and len(work) > 1 and second_pass_pbar is None
-            n_dp = len(work) if use_dp else 0
+            use_batch = (
+                not use_dp
+                and chunk_batch > 1
+                and len(work) > 1
+                and second_pass_pbar is None
+            )
+            if use_batch:
+                n_data = chunk_batch  # group width for the loop below
+            n_dp = len(work) if (use_dp or use_batch) else 0
             for g in range(0, n_dp, n_data):
                 if abort_event is not None and abort_event.is_set():
                     return  # _cleanup joins the pool and drains writers

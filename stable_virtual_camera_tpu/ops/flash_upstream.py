@@ -50,6 +50,15 @@ _TUNED: dict[int, tuple[int, int, int, int]] = {
     324: (324, 324, 324, 324),        # 4.5 vs 7.8 (pf_ds4); bk == kv len
     27216: (27216, 1296, 27648, 1024),  # 57.7 vs 58.0 (joint_ds2), no q pad
     # 6804 / 1701 (joint_ds4/ds8): generic 1024/1024 measured best
+    # BASIC workload lengths (768x576 -> 72x96 latents), measured round-5
+    # on v5e (benchmark/attn_probe_basic.py); 6912 = 54*128 needs NO
+    # padding anywhere:
+    6912: (6912, 1152, 6912, 2304),   # 44.61 vs 44.66 generic (pf_ds1)
+    1728: (1728, 1728, 1728, 1728),   # 9.55 vs 10.96 (pf_ds2); bk == kv len
+    432: (432, 432, 432, 432),        # 4.47 vs 4.56 (pf_ds4); bk == kv len
+    36288: (36288, 1296, 36864, 1024),  # 99.1 vs 101.6 (joint_ds2), no q pad
+    9072: (9072, 1296, 9216, 1024),   # 15.40 vs 16.25 (joint_ds4)
+    2268: (2304, 1152, 2304, 1152),   # 4.28 == generic, 10% less padding
 }
 
 

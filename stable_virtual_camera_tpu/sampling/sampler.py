@@ -972,29 +972,15 @@ class UNetDenoiser:
             return x
         return post[1](post[2], x)  # eager post keeps the output contract
 
-    def sample_many(self, keys, plan, conds, latent_shape):
-        """Denoise N independent chunks in ONE program, vmapped over the
-        chunk axis and — when the mesh has a 'data' axis that divides N —
-        sharded over it, so each device group denoises different chunks
-        concurrently (the engine-level data-parallel fan-out; the reference's
-        only scaling story is the sequential chunk loop,
-        seva/eval.py:1862-1956).
-
-        keys: (N, ...) stacked PRNG keys, one per chunk (the same key the
-        serial path would receive — noise + loop keys split identically
-        inside, so data-parallel == serial bit-for-bit).
-        conds: ChunkConditioning with a leading N axis on every leaf.
-        Returns (N, T, h, w, C) denoised latents (device array)."""
+    def many_fn(self, N: int, latent_shape, num_steps: int, keys_ndim: int = 2):
+        """The jitted N-chunk program for one (N, T, h, w, steps) bucket —
+        `run(params, plan_arrays, conds, keys) -> (N, T, h, w, C)` — built
+        with 'data'-axis shardings when the mesh applies. Exposed separately
+        from `sample_many` so evidence tooling can AOT-lower/compile the
+        EXACT serving program with abstract arguments
+        (benchmark/fullscale_compile.py)."""
         T, h, w, C = latent_shape
-        N = keys.shape[0]
-        from stable_virtual_camera_tpu.ops.quant import static_enabled
-
-        if static_enabled():
-            self.ensure_quant_calibrated(
-                latent_shape, plan,
-                jax.tree_util.tree_map(lambda a: a[0], conds),
-            )
-        bucket = ("dp", N, T, h, w, plan.num_steps)
+        bucket = ("dp", N, T, h, w, num_steps)
         if bucket not in self._jitted:
 
             def run(params, plan_arrays, conds, keys, _T=T):
@@ -1034,12 +1020,36 @@ class UNetDenoiser:
                 }
                 self._jitted[bucket] = jax.jit(
                     run,
-                    in_shardings=(params_sh, plan_sh, cond_sh, ds(keys.ndim)),
+                    in_shardings=(params_sh, plan_sh, cond_sh, ds(keys_ndim)),
                     out_shardings=ds(5),
                 )
             else:
                 self._jitted[bucket] = jax.jit(run)
-        return self._jitted[bucket](self.params, plan_to_device(plan), conds, keys)
+        return self._jitted[bucket]
+
+    def sample_many(self, keys, plan, conds, latent_shape):
+        """Denoise N independent chunks in ONE program, vmapped over the
+        chunk axis and — when the mesh has a 'data' axis that divides N —
+        sharded over it, so each device group denoises different chunks
+        concurrently (the engine-level data-parallel fan-out; the reference's
+        only scaling story is the sequential chunk loop,
+        seva/eval.py:1862-1956).
+
+        keys: (N, ...) stacked PRNG keys, one per chunk (the same key the
+        serial path would receive — noise + loop keys split identically
+        inside, so data-parallel == serial bit-for-bit).
+        conds: ChunkConditioning with a leading N axis on every leaf.
+        Returns (N, T, h, w, C) denoised latents (device array)."""
+        N = keys.shape[0]
+        from stable_virtual_camera_tpu.ops.quant import static_enabled
+
+        if static_enabled():
+            self.ensure_quant_calibrated(
+                latent_shape, plan,
+                jax.tree_util.tree_map(lambda a: a[0], conds),
+            )
+        fn = self.many_fn(N, latent_shape, plan.num_steps, keys_ndim=keys.ndim)
+        return fn(self.params, plan_to_device(plan), conds, keys)
 
 
 jax.tree_util.register_pytree_node(

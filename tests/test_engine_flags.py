@@ -136,6 +136,19 @@ def test_sharded_bucket_drops_fused_post(tmp_path, monkeypatch):
     assert np.max(np.abs(out.astype(int) - base.astype(int))) <= 1
 
 
+def test_single_chip_chunk_batch(bundle, tmp_path, monkeypatch):
+    """SVC_CHUNK_BATCH=2 (single-chip multi-chunk batched scan): B
+    independent second-pass chunks vmap into one program with the same
+    per-chunk keys — frames match the serial engine to one uint8
+    quantization step (vmap+batched program vs per-chunk program compile
+    variation, same tolerance as the mesh fan-out test)."""
+    base = _frames(_run_two_pass(bundle, tmp_path, "serial_cb"))
+    monkeypatch.setenv("SVC_CHUNK_BATCH", "2")
+    batched = _frames(_run_two_pass(bundle, tmp_path, "batched_cb"))
+    assert batched.shape == base.shape
+    assert np.max(np.abs(batched.astype(int) - base.astype(int))) <= 1
+
+
 def test_nonsquare_two_pass(tmp_path):
     """Non-square (Basic-workload-shaped) render: 128x64 images -> 16x8
     latents through the full two-pass engine. The published Basic workload
