@@ -374,7 +374,7 @@ def scenario_e2e(
     # Each repeat renders different pixels with a different seed (same
     # shapes -> same compiled buckets; distinct dispatches defeat relay
     # memoization).
-    repeats = max(1, int(os.environ.get("SVC_BENCH_E2E_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SVC_BENCH_E2E_REPEATS", "3")))
     totals = []
     plan = plan0
     for r in range(repeats):
