@@ -136,10 +136,11 @@ def main() -> None:
         from stable_virtual_camera_tpu.models.io import random_bundle
 
         bundle = random_bundle(image_hw=(64, 64))
-        # T=3 leaves no target slots under interp-gt (1 gt + 2 anchors fill
-        # the window); plain interp drops the gt input from the anchor set
+        # version T=6 (the tiny UNet is T-flexible): T=3 would force ~one
+        # anchor per target (cap = T-2 targets/gap) and a dozen first-pass
+        # chunks — minutes of tiny-model compiles for no extra signal
         out = measure(bundle, image_hw=(64, 64), num_frames=12, num_steps=2,
-                      version_T=3, chunk_strategy="interp")
+                      version_T=6, chunk_strategy="interp-gt")
     print(json.dumps(out))
 
 
