@@ -28,7 +28,11 @@ T = 21
 # measured per-T=21-scan wall (denoise 50 steps + deferred decode + flush
 # sync; back-computed from the round-4 bench: (351.8 - 20.5 first pass -
 # 13 host) / 8 chunks) and fixed host overhead per render
-# (prime/build/saves/prepare) — bench decomposition in docs/ARCHITECTURE.md
+# (prime/build/saves/prepare) — bench decomposition in docs/ARCHITECTURE.md.
+# Round-5 validation: the deliver D=1 row projects 0.434 f/s; the measured
+# round-5 headline (deliver-auto default, median of 3) is 0.4307 — 0.8%
+# error, so the D=2/4/8 projections (1.31x/2.26x/3.55x baseline) carry the
+# same calibration.
 SCAN_S = 39.8
 HOST_S = 13.0
 

@@ -280,7 +280,7 @@ class Attention(nn.Module):
                 # q/k/v separately: three 139 MB pad copies per layer at ds1);
                 # the padded rows ride the projections/kernel/to_out as
                 # lane-local garbage and are sliced off at the end
-                sb = pick_s_block(S)
+                sb = pick_s_block(S, T=time_frames)
                 S_pad = -(-S // sb) * sb
                 if S_pad != S:
                     xq = jnp.pad(xq, ((0, 0), (0, S_pad - S), (0, 0)))

@@ -62,6 +62,15 @@ _TUNED: dict[int, tuple[int, int, int, int]] = {
 }
 
 
+def _tuned_enabled() -> bool:
+    """SVC_FLASH_TUNED=0 ignores the measured layout table (generic blocks
+    everywhere) — the safety/bisect fallback when a layout that compiled
+    standalone misbehaves inside the full program on some toolchain."""
+    import os
+
+    return os.environ.get("SVC_FLASH_TUNED", "1") != "0"
+
+
 def flash_attention_upstream_bhld(
     q: jnp.ndarray,  # (B, H, L, D) — the kernel's native layout
     k: jnp.ndarray,
@@ -72,7 +81,7 @@ def flash_attention_upstream_bhld(
     fusing it into the projection GEMMs: einsum('blc,chd->bhld', x, W) writes
     (B,H,L,D) in the matmul epilogue (models/unet.Attention does this)."""
     B, H, L, D = q.shape
-    if L in _TUNED:
+    if L in _TUNED and _tuned_enabled():
         q_pad, bq, kv_pad, bk = _TUNED[L]
     else:
         block = _pick(L)

@@ -55,16 +55,40 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, T: int, scale: float):
         o_ref[t, 0] = jnp.sum(pv, axis=0).astype(o_ref.dtype)
 
 
-def pick_s_block(S: int, candidates: tuple[int, ...] = (512, 256, 128)) -> int:
-    """Largest lane-block with <=4% cdiv padding waste, else waste-minimizing.
+def pick_s_block(
+    S: int,
+    candidates: tuple[int, ...] = (512, 256, 128),
+    T: int = 21,
+    D: int = 64,
+    vmem_budget: int = 8 * 2**20,
+) -> int:
+    """Largest lane-block with <=4% cdiv padding waste AND an estimated
+    VMEM footprint under budget, else waste-minimizing among fitting blocks.
+
+    The footprint bound matters: a grid instance holds double-buffered
+    q/k/v/out tiles (T, D, b) bf16, the (T, T, b) fp32 score scratch, and
+    Mosaic's softmax temporaries — measured 17.46 MB at T=21/D=64/b=512
+    (over the 16 MB scoped-VMEM limit) where the formula below estimates
+    11.9 MB, hence the 8 MB budget (the ~1.5x temporary overhead rides the
+    margin). 576^2 shapes never selected 512 (their waste fails first); the
+    Basic 768x576 shapes (S=6912: 512 divides to 4% waste) were the first
+    to trip it — Mosaic refuses the kernel with a compile-time scoped-vmem
+    OOM (measured: bench --scenario basic warmup, round-5 journal).
+
     Callers that pad their activations BEFORE the q/k/v projections (one pad
     of x instead of three pads of q/k/v — models/unet.py time path) need the
     block choice up front."""
     def waste(b: int) -> float:
         return (-(-S // b) * b) / S
 
-    ok = [b for b in candidates if waste(b) <= 1.04]
-    return max(ok) if ok else min(candidates, key=waste)
+    def vmem(b: int) -> int:
+        return 2 * 4 * T * D * b * 2 + T * T * b * 4
+
+    fits = [b for b in candidates if vmem(b) <= vmem_budget]
+    if not fits:
+        fits = [min(candidates)]
+    ok = [b for b in fits if waste(b) <= 1.04]
+    return max(ok) if ok else min(fits, key=waste)
 
 
 def _kernel_call(
