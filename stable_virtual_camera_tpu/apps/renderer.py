@@ -186,9 +186,18 @@ class HeadlessRenderer:
             encoding_t=0,
             # the reference en/decodes 1 frame at a time for GPU memory
             # (demo_gr.py:569-570); on TPU one flat batch over all T frames is
-            # the measured optimum (2.82 s vs 3.86 s chunked, round-3 journal)
-            # and fits HBM. 0 = whole batch in one dispatch (VaeApplier).
-            decoding_t=0,
+            # the measured optimum AT 576^2 (2.82 s vs 3.86 s chunked,
+            # round-3 journal) and just fits HBM there (~11 GB decoder
+            # activations + 2.6 GB params + the overlapped next scan).
+            # Larger frames scale the decoder's widest layer linearly in
+            # pixels — the Basic 768x576 workload OOMed 16 GB exactly here
+            # (round-5 journal) — so above 576^2 the decode groups into
+            # lax.map sub-batches sized to ~60% of the proven footprint.
+            decoding_t=(
+                0
+                if H * W <= 576 * 576
+                else max(4, int(21 * (576 * 576) / (H * W) * 0.6))
+            ),
             min_anchor_fill=min_anchor_fill,
         )
         # Economy (min_anchor_fill=False): anchors at exact target indices,
